@@ -1,0 +1,10 @@
+from .wav_io import read_wav_16k, write_wav  # noqa: F401
+from .se_dataset import (  # noqa: F401
+    SEDataset,
+    SEH5Dataset,
+    RandomChunkSEDataset,
+    collate_batch,
+)
+from .vc_dataset import VCDataset, varlen_wav_collate  # noqa: F401
+from .loader import DataLoader  # noqa: F401
+from .augment import Additive, ComposeAdditive  # noqa: F401

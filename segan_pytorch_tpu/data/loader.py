@@ -1,0 +1,119 @@
+"""Threaded, prefetching, fixed-shape batch loader.
+
+Replaces torch DataLoader (ref train.py:66-69) with a host-side pipeline tailored to TPU:
+static batch shapes (the final ragged batch is padded and carries a validity mask used by
+the masked losses), background worker threads, and a prefetch queue that overlaps host IO
+with device compute.
+"""
+from __future__ import annotations
+
+import queue
+import random as _random
+import threading
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+from .se_dataset import collate_batch
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_workers: int = 1,
+        collate_fn: Callable = collate_batch,
+        drop_last: bool = False,
+        pad_final: bool = True,
+        seed: int = 0,
+        prefetch: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.collate_fn = collate_fn
+        self.drop_last = drop_last
+        self.pad_final = pad_final
+        self.rng = _random.Random(seed)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self):
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        for i in range(0, len(idx), self.batch_size):
+            b = idx[i : i + self.batch_size]
+            if len(b) < self.batch_size and self.drop_last:
+                continue
+            yield b
+
+    def _make_batch(self, indices):
+        samples = [self.dataset[i] for i in indices]
+        batch = self.collate_fn(samples)
+        n_valid = len(indices)
+        if n_valid < self.batch_size and self.pad_final:
+            pad = self.batch_size - n_valid
+            for k, v in list(batch.items()):
+                if isinstance(v, np.ndarray):
+                    reps = np.concatenate([v] + [v[-1:]] * pad, axis=0)
+                    batch[k] = reps
+                elif isinstance(v, list):
+                    batch[k] = v + [v[-1]] * pad
+        mask = np.zeros((max(n_valid, self.batch_size if self.pad_final else n_valid),),
+                        np.float32)
+        mask[:n_valid] = 1.0
+        batch["mask"] = mask
+        return batch
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = list(self._batch_indices())
+        if self.num_workers <= 1:
+            for b in batches:
+                yield self._make_batch(b)
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+        lock = threading.Lock()
+        it = iter(enumerate(batches))
+        results = {}
+        next_emit = [0]
+
+        def worker():
+            while True:
+                with lock:
+                    try:
+                        i, b = next(it)
+                    except StopIteration:
+                        q.put(SENTINEL)
+                        return
+                q.put((i, self._make_batch(b)))
+
+        threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        done_workers = 0
+        emitted = 0
+        total = len(batches)
+        # emit in order for determinism
+        while emitted < total:
+            item = q.get()
+            if item is SENTINEL:
+                done_workers += 1
+                continue
+            i, batch = item
+            results[i] = batch
+            while next_emit[0] in results:
+                yield results.pop(next_emit[0])
+                next_emit[0] += 1
+                emitted += 1
+        for t in threads:
+            t.join(timeout=0.1)

@@ -1,0 +1,301 @@
+"""Speech-enhancement datasets (layer L4).
+
+Host-side pipeline producing fixed-shape float32 arrays for the statically-shaped jitted
+TPU step.  Mirrors the reference's capability surface:
+
+- SEDataset: paired clean/noisy wav dirs, 16384-sample slices at fractional stride, with a
+  persistent slice-index cache (ref se_dataset.py:128-371).  The reference pickles per-file
+  slice dicts (se_dataset.py:174-182); we store one compact JSON+NPZ index instead.
+- SEH5Dataset: pre-chunked {split}.h5 with 'data'/'label' datasets (ref se_dataset.py:527-568).
+- RandomChunkSEDataset: one random window per utterance per epoch (ref se_dataset.py:373-448).
+"""
+from __future__ import annotations
+
+import glob
+import json
+import multiprocessing as mp
+import os
+import random as _random
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .wav_io import read_wav_16k, read_wav_raw
+from ..ops.signal import (
+    normalize_wave_minmax,
+    pre_emphasize_np,
+    slice_signal_indices,
+)
+
+
+def _slice_index_job(args) -> List[Tuple[int, int]]:
+    path, window_size, stride = args
+    wav, _ = read_wav_16k(path, 16000)
+    return slice_signal_indices(wav.shape[0], window_size, stride)
+
+
+def collate_batch(samples: Sequence[dict]) -> dict:
+    """Stack a list of per-slice dicts into a batch dict of numpy arrays.
+
+    Equivalent to the reference collate_fn keeping the uttname list alongside default
+    tensor collation (ref se_dataset.py:21-29).
+    """
+    out = {
+        "uttname": [s["uttname"] for s in samples],
+        "clean": np.stack([s["clean"] for s in samples]).astype(np.float32),
+        "noisy": np.stack([s["noisy"] for s in samples]).astype(np.float32),
+        "slice_idx": np.asarray([s["slice_idx"] for s in samples], np.int32),
+    }
+    if samples and samples[0].get("pesq") is not None:
+        out["pesq"] = np.asarray([s["pesq"] for s in samples], np.float32)
+    if samples and samples[0].get("ssnr") is not None:
+        out["ssnr"] = np.asarray([s["ssnr"] for s in samples], np.float32)
+    return out
+
+
+class SEDataset:
+    """Paired clean/noisy slicing dataset (ref se_dataset.py:128-371)."""
+
+    def __init__(
+        self,
+        clean_dir: str,
+        noisy_dir: str,
+        preemph: float,
+        cache_dir: str = ".",
+        split: str = "train",
+        slice_size: int = 2**14,
+        stride: float = 0.5,
+        max_samples: Optional[int] = None,
+        verbose: bool = False,
+        slice_workers: int = 2,
+        preemph_norm: bool = False,
+        random_scale: Sequence[float] = (1,),
+    ):
+        self.clean_names = sorted(glob.glob(os.path.join(clean_dir, "*.wav")))
+        self.noisy_names = sorted(glob.glob(os.path.join(noisy_dir, "*.wav")))
+        if verbose:
+            print(
+                f"Found {len(self.clean_names)} clean names and "
+                f"{len(self.noisy_names)} noisy names"
+            )
+        if len(self.clean_names) != len(self.noisy_names) or len(self.clean_names) == 0:
+            raise ValueError("No wav data found! Check your data path please")
+        if max_samples is not None:
+            self.clean_names = self.clean_names[:max_samples]
+            self.noisy_names = self.noisy_names[:max_samples]
+        self.cache_dir = cache_dir
+        self.slice_size = slice_size
+        self.stride = stride
+        self.split = split
+        self.preemph = preemph
+        self.preemph_norm = preemph_norm
+        self.random_scale = list(random_scale)
+        self.slice_workers = slice_workers
+        self._wav_cache: Dict[str, np.ndarray] = {}
+
+        os.makedirs(cache_dir, exist_ok=True)
+        index_path = os.path.join(cache_dir, f"{split}_idx2slice.json")
+        if not os.path.exists(index_path):
+            self._prepare_slicing()
+            with open(index_path, "w") as f:
+                json.dump(self.idx2slice, f)
+        else:
+            with open(index_path, "r") as f:
+                self.idx2slice = [tuple(t) for t in json.load(f)]
+            print(f"Loaded {len(self.idx2slice)} idx2slice items")
+
+    # ------------------------------------------------------------------
+    def _prepare_slicing(self):
+        """Slice every pair; drop slices shorter than 1024 samples
+        (ref se_dataset.py:249-307, incl. the <1024 decimation at :277-279)."""
+        args_c = [(n, self.slice_size, self.stride) for n in self.clean_names]
+        args_n = [(n, self.slice_size, self.stride) for n in self.noisy_names]
+        if self.slice_workers and self.slice_workers > 1:
+            with mp.Pool(self.slice_workers) as pool:
+                c_slices = pool.map(_slice_index_job, args_c)
+                n_slices = pool.map(_slice_index_job, args_n)
+        else:
+            c_slices = [_slice_index_job(a) for a in args_c]
+            n_slices = [_slice_index_job(a) for a in args_n]
+        idx2slice = []
+        for w_i, (c_sl, n_sl) in enumerate(zip(c_slices, n_slices)):
+            for t_i, (c_ss, n_ss) in enumerate(zip(c_sl, n_sl)):
+                if c_ss[1] - c_ss[0] < 1024:
+                    continue
+                idx2slice.append((w_i, t_i, int(c_ss[0]), int(c_ss[1]),
+                                  int(n_ss[0]), int(n_ss[1])))
+        self.idx2slice = idx2slice
+
+    def read_wav_file(self, path: str) -> np.ndarray:
+        """normalize then preemph by default; order inverted by preemph_norm
+        (ref se_dataset.py:190-198)."""
+        if path in self._wav_cache:
+            return self._wav_cache[path]
+        rate, wav = read_wav_raw(path)
+        wav = np.asarray(wav)
+        if self.preemph_norm:
+            wav = pre_emphasize_np(wav.astype(np.float32), self.preemph)
+            wav = np.asarray(normalize_wave_minmax(wav))
+        else:
+            wav = np.asarray(normalize_wave_minmax(wav))
+            wav = pre_emphasize_np(wav, self.preemph)
+        wav = wav.astype(np.float32)
+        # small LRU-ish cache to avoid re-reading the same file for every slice
+        if len(self._wav_cache) > 64:
+            self._wav_cache.pop(next(iter(self._wav_cache)))
+        self._wav_cache[path] = wav
+        return wav
+
+    def __getitem__(self, index: int) -> dict:
+        w_i, t_i, cb, ce, nb, ne = self.idx2slice[index]
+        c_path = self.clean_names[w_i]
+        n_path = self.noisy_names[w_i]
+        c_sig = self.read_wav_file(c_path)
+        n_sig = self.read_wav_file(n_path)
+        c_slice = c_sig[cb:ce]
+        n_slice = n_sig[nb:ne]
+        L = min(c_slice.shape[0], n_slice.shape[0])
+        c_slice, n_slice = c_slice[:L], n_slice[:L]
+        if c_slice.shape[0] < self.slice_size:
+            pad = np.zeros((self.slice_size - c_slice.shape[0],), np.float32)
+            c_slice = np.concatenate((c_slice, pad))
+            n_slice = np.concatenate((n_slice, pad))
+        bname = os.path.splitext(os.path.basename(n_path))[0]
+        pesq = ssnr = None
+        met_path = os.path.join(os.path.dirname(n_path), bname + ".met")
+        if os.path.exists(met_path):
+            with open(met_path, "r") as f:
+                met = json.load(f)
+            pesq, ssnr = met["pesq"], met["ssnr"]
+        rscale = _random.choice(self.random_scale)
+        if rscale != 1:
+            c_slice = rscale * c_slice
+            n_slice = rscale * n_slice
+        return {
+            "uttname": bname,
+            "clean": c_slice.astype(np.float32),
+            "noisy": n_slice.astype(np.float32),
+            "slice_idx": t_i,
+            "pesq": pesq,
+            "ssnr": ssnr,
+        }
+
+    def __len__(self):
+        return len(self.idx2slice)
+
+
+class SEH5Dataset:
+    """Pre-chunked H5 pairs: {split}.h5 with 'data'/'label' (ref se_dataset.py:527-568)."""
+
+    def __init__(
+        self,
+        data_root: str,
+        split: str,
+        preemph: float,
+        verbose: bool = False,
+        preemph_norm: bool = False,
+        random_scale: Sequence[float] = (1,),
+    ):
+        import h5py
+
+        h5_file = os.path.join(data_root, split + ".h5")
+        if not os.path.exists(h5_file):
+            raise FileNotFoundError(h5_file)
+        self.f = h5py.File(h5_file, "r")
+        ks = list(self.f.keys())
+        assert "data" in ks, ks
+        assert "label" in ks, ks
+        if verbose:
+            print(f"Found H5 file {h5_file} with {self.f['data'].shape[0]} samples")
+        self.random_scale = list(random_scale)
+
+    def __getitem__(self, index: int) -> dict:
+        c = np.squeeze(np.asarray(self.f["data"][index], np.float32), axis=-1) \
+            if np.asarray(self.f["data"][index]).ndim > 1 else np.asarray(self.f["data"][index], np.float32)
+        n = np.squeeze(np.asarray(self.f["label"][index], np.float32), axis=-1) \
+            if np.asarray(self.f["label"][index]).ndim > 1 else np.asarray(self.f["label"][index], np.float32)
+        rscale = _random.choice(self.random_scale)
+        if rscale != 1:
+            c, n = rscale * c, rscale * n
+        return {"uttname": "N/A", "clean": c, "noisy": n, "slice_idx": 0,
+                "pesq": None, "ssnr": None}
+
+    def __len__(self):
+        return self.f["data"].shape[0]
+
+
+class RandomChunkSEDataset:
+    """One random slice per utterance per epoch (ref se_dataset.py:373-448)."""
+
+    def __init__(
+        self,
+        clean_dir: str,
+        noisy_dir: str,
+        preemph: float,
+        split: str = "train",
+        slice_size: int = 2**14,
+        max_samples: Optional[int] = None,
+        utt2spk: Optional[str] = None,
+        spk2idx: Optional[dict] = None,
+    ):
+        self.preemph = preemph
+        self.slice_size = slice_size
+        self.utt2spk = utt2spk
+        self.spk2idx = spk2idx
+        if self.utt2spk is not None and self.spk2idx is None:
+            raise ValueError("Please specify spk2idx too with utt2spk!")
+        if utt2spk is not None:
+            self._read_utt2spk()
+        self.samples = {}
+        self.clean_names = sorted(glob.glob(os.path.join(clean_dir, "*.wav")))
+        for c_i, cname in enumerate(self.clean_names):
+            bname = os.path.basename(cname)
+            self.samples[c_i] = {
+                "clean": cname,
+                "noisy": os.path.join(noisy_dir, bname),
+            }
+
+    def _read_utt2spk(self):
+        utt2spk = {}
+        with open(self.utt2spk, "r") as f:
+            for line in f:
+                parts = line.rstrip().split("\t")
+                uttname = os.path.splitext(os.path.basename(parts[0]))[0]
+                utt2spk[uttname] = parts[1]
+        self.utt2spk = utt2spk
+
+    def read_wav_file(self, path: str) -> np.ndarray:
+        wav, _ = read_wav_16k(path, 16000)  # float in [-1,1] (ref se_dataset.py:408)
+        return pre_emphasize_np(wav, self.preemph)
+
+    def __getitem__(self, index: int) -> dict:
+        sample = self.samples[index]
+        bname = os.path.splitext(os.path.basename(sample["clean"]))[0]
+        cwav = self.read_wav_file(sample["clean"])
+        nwav = self.read_wav_file(sample["noisy"])
+        min_L = min(cwav.shape[0], nwav.shape[0])
+        slice_size = min(self.slice_size, min_L)
+        beg = _random.randint(0, min_L - slice_size)
+        cslice = cwav[beg : beg + self.slice_size]
+        nslice = nwav[beg : beg + self.slice_size]
+        if min_L < self.slice_size:
+            cslice = np.concatenate(
+                (cslice, np.zeros(self.slice_size - cslice.shape[0], np.float32))
+            )
+            nslice = np.concatenate(
+                (nslice, np.zeros(self.slice_size - nslice.shape[0], np.float32))
+            )
+        out = {
+            "uttname": bname,
+            "clean": cslice.astype(np.float32),
+            "noisy": nslice.astype(np.float32),
+            "slice_idx": 0,
+            "pesq": None,
+            "ssnr": None,
+        }
+        if isinstance(self.utt2spk, dict):
+            out["spkid"] = self.spk2idx[self.utt2spk[bname]]
+        return out
+
+    def __len__(self):
+        return len(self.samples)

@@ -1,0 +1,583 @@
+"""SEGAN training engine (layer L3): a single fused, jitted LSGAN step.
+
+The reference runs three sequential backward passes per batch — D-real, D-fake, then G
+(ref segan/models/model.py:291-321).  Here the whole thing is ONE jitted program:
+
+  1. one G forward captured with jax.vjp (the reference computes Genh once and reuses it
+     for D-fake and the G update; the vjp gives us the exact same graph with one G
+     backward instead of a recompute),
+  2. D grads from d_real_loss + d_fake_loss (summed backward ≡ the reference's two
+     accumulating .backward() calls into one Dopt.step, model.py:292-308),
+  3. G adv+L1 grads through the *updated* D (the reference steps Dopt before the G pass),
+     pulled back through the saved G vjp,
+  with D's BatchNorm statistics threaded sequentially through the three D passes exactly
+  as torch's stateful BN would (real → fake → fake_), and per-pass phase-shift randomness.
+
+Everything is statically shaped; the final ragged batch is padded and masked, so means
+match the reference's smaller last batch exactly.
+
+Under a data mesh, the batch is sharded on 'data' and params replicated; XLA inserts the
+gradient all-reduces and makes D's BatchNorm cross-replica automatically.
+"""
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import timeit
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import unfreeze
+
+from .generator import Generator, build_generator
+from .discriminator import Discriminator, build_discriminator
+from ..ops.signal import de_emphasize_np
+from ..utils.checkpoint import (
+    Saver,
+    filter_merge_state,
+    load_torch_generator,
+    load_torch_discriminator,
+    flatten_tree,
+    unflatten_tree,
+)
+from ..utils.config import SEGANConfig
+
+MUTS = ("batch_stats", "spectral")
+
+
+@struct.dataclass
+class GANTrainState:
+    g_params: Any
+    g_vars: Any
+    g_opt: Any
+    d_params: Any
+    d_vars: Any
+    d_opt: Any
+    step: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# optimizers (ref model.py:219-228: RMSprop(lr) or Adam(lr, betas=(0, 0.9)))
+# torch RMSprop: alpha=0.99, eps=1e-8, no momentum, uncentered.
+# ---------------------------------------------------------------------------
+def build_optimizer(opt: str, lr: float, betas=(0.0, 0.9)) -> optax.GradientTransformation:
+    if opt == "rmsprop":
+        return optax.rmsprop(lr, decay=0.99, eps=1e-8)
+    if opt == "adam":
+        return optax.adam(lr, b1=betas[0], b2=betas[1], eps=1e-8)
+    raise ValueError(f"Unrecognized optimizer {opt}")
+
+
+def masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
+    """Mean over batch entries with mask==1 (equals plain mean on full batches)."""
+    per = x.reshape(x.shape[0], -1).mean(axis=1)
+    return jnp.sum(per * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def masked_mse(logits: jax.Array, label: float, mask: jax.Array) -> jax.Array:
+    d = (logits.reshape(logits.shape[0], -1) - label) ** 2
+    return masked_mean(d, mask)
+
+
+def masked_bce_logits(logits: jax.Array, label: float, mask: jax.Array) -> jax.Array:
+    x = logits.reshape(logits.shape[0], -1)
+    # binary_cross_entropy_with_logits: max(x,0) - x*y + log(1+exp(-|x|))
+    per = jnp.maximum(x, 0) - x * label + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    return masked_mean(per, mask)
+
+
+def reg_loss_fn(kind: str):
+    if kind == "l1_loss":
+        return lambda a, b, mask: masked_mean(jnp.abs(a - b), mask)
+    if kind == "mse_loss":
+        return lambda a, b, mask: masked_mean((a - b) ** 2, mask)
+    raise ValueError(f"Unrecognized reg loss {kind}")
+
+
+# ---------------------------------------------------------------------------
+# the fused train step
+# ---------------------------------------------------------------------------
+def make_segan_train_step(gen: Generator, disc: Discriminator, g_tx, d_tx,
+                          reg_loss: str = "l1_loss"):
+    reg_fn = reg_loss_fn(reg_loss)
+
+    def step(state: GANTrainState, clean, noisy, mask, rng, l1_weight):
+        kz, kd1, kd2, kd3, kdrop = jax.random.split(rng, 5)
+        z = gen.sample_z(kz, noisy.shape)
+
+        def gfwd(gp):
+            out, newv = gen.apply(
+                {"params": gp, **state.g_vars},
+                noisy,
+                z=z,
+                train=True,
+                mutable=list(MUTS),
+                rngs={"dropout": kdrop},
+            )
+            return out, newv
+
+        (Genh, g_vars_new), g_vjp = jax.vjp(gfwd, state.g_params)
+
+        # --- D update (ref model.py:292-308) ---
+        def d_loss_fn(d_params):
+            dv = {"params": d_params, **state.d_vars}
+            (d_real, _), m1 = disc.apply(
+                dv, jnp.concatenate([clean, noisy], -1),
+                train=True, mutable=list(MUTS), rngs={"phase": kd1})
+            dv = {"params": d_params, **m1}
+            (d_fake, _), m2 = disc.apply(
+                dv, jnp.concatenate([jax.lax.stop_gradient(Genh), noisy], -1),
+                train=True, mutable=list(MUTS), rngs={"phase": kd2})
+            d_real_loss = masked_mse(d_real, 1.0, mask)
+            d_fake_loss = masked_mse(d_fake, 0.0, mask)
+            return d_real_loss + d_fake_loss, (m2, d_real_loss, d_fake_loss)
+
+        (d_loss, (d_vars_mid, d_real_loss, d_fake_loss)), d_grads = (
+            jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params)
+        )
+        d_updates, d_opt_new = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params_new = optax.apply_updates(state.d_params, d_updates)
+
+        # --- G update through the UPDATED D (ref model.py:313-321) ---
+        def g_obj(Genh_):
+            dv = {"params": d_params_new, **d_vars_mid}
+            (d_fake_, _), m3 = disc.apply(
+                dv, jnp.concatenate([Genh_, noisy], -1),
+                train=True, mutable=list(MUTS), rngs={"phase": kd3})
+            g_adv = masked_mse(d_fake_, 1.0, mask)
+            g_l1 = l1_weight * reg_fn(Genh_, clean, mask)
+            return g_adv + g_l1, (m3, g_adv, g_l1)
+
+        (g_loss, (d_vars_new, g_adv_loss, g_l1_loss)), dGenh = (
+            jax.value_and_grad(g_obj, has_aux=True)(Genh)
+        )
+        vars_cot = jax.tree.map(jnp.zeros_like, g_vars_new)
+        (g_grads,) = g_vjp((dGenh, vars_cot))
+        g_updates, g_opt_new = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params_new = optax.apply_updates(state.g_params, g_updates)
+
+        new_state = state.replace(
+            g_params=g_params_new,
+            g_vars=g_vars_new,
+            g_opt=g_opt_new,
+            d_params=d_params_new,
+            d_vars=d_vars_new,
+            d_opt=d_opt_new,
+            step=state.step + 1,
+        )
+        metrics = {
+            "d_real": d_real_loss,
+            "d_fake": d_fake_loss,
+            "g_adv": g_adv_loss,
+            "g_l1": g_l1_loss,
+        }
+        return new_state, metrics, Genh, z
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# post-init weight re-initialization matching ref weights_init schemes
+# ---------------------------------------------------------------------------
+def apply_wsegan_weights_init(params: dict, rng: jax.Array) -> dict:
+    """Xavier-uniform every conv/deconv/linear weight (ref model.py:45-60)."""
+    from ..ops import initializers as init
+
+    flat = flatten_tree(unfreeze(params))
+    keys = jax.random.split(rng, len(flat))
+    out = {}
+    for (path, leaf), key in zip(sorted(flat.items()), keys):
+        arr = np.asarray(leaf)
+        name = path.split("/")[-1]
+        parent = path.split("/")[-2] if "/" in path else ""
+        if name == "weight" and arr.ndim >= 2:
+            if "deconv" in parent:
+                out[path] = np.asarray(init.xavier_uniform_convT(key, arr.shape))
+            else:
+                out[path] = np.asarray(init.xavier_uniform(key, arr.shape))
+        else:
+            out[path] = arr
+    return unflatten_tree(out)
+
+
+# ---------------------------------------------------------------------------
+# SEGAN model/trainer
+# ---------------------------------------------------------------------------
+class SEGAN:
+    """The SEGAN training engine (ref segan/models/model.py:71-507)."""
+
+    name = "SEGAN"
+
+    def __init__(self, cfg: SEGANConfig, generator: Optional[Generator] = None,
+                 discriminator: Optional[Discriminator] = None):
+        self.cfg = cfg
+        self.save_path = cfg.save_path
+        self.preemph = cfg.preemph
+        self.G = generator if generator is not None else build_generator(cfg)
+        self.D = discriminator if discriminator is not None else build_discriminator(cfg)
+        self.state: Optional[GANTrainState] = None
+        self.mesh = None
+        self._jit_step = None
+        self._jit_gfwd = None
+        self.writer = None
+        self.pool = None
+
+    # -- initialization ---------------------------------------------------
+    def init_state(self, rng: Optional[jax.Array] = None,
+                   batch_size: int = 1) -> GANTrainState:
+        cfg = self.cfg
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+        kg, kd, kz, kph = jax.random.split(rng, 4)
+        x = jnp.zeros((batch_size, cfg.slice_size, 1), jnp.float32)
+        g_variables = self.G.init({"params": kg, "z": kz, "dropout": kz}, x, train=True)
+        g_variables = unfreeze(g_variables)
+        g_params = g_variables.pop("params")
+        d_in = jnp.zeros((batch_size, cfg.slice_size, 2), jnp.float32)
+        d_variables = self.D.init({"params": kd, "phase": kph}, d_in, train=True)
+        d_variables = unfreeze(d_variables)
+        d_params = d_variables.pop("params")
+        g_tx, d_tx = self.build_optimizers()
+        self._g_tx, self._d_tx = g_tx, d_tx
+        state = GANTrainState(
+            g_params=g_params,
+            g_vars=g_variables,
+            g_opt=g_tx.init(g_params),
+            d_params=d_params,
+            d_vars=d_variables,
+            d_opt=d_tx.init(d_params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        self.state = state
+        return state
+
+    def build_optimizers(self):
+        cfg = self.cfg
+        return (
+            build_optimizer(cfg.opt, cfg.g_lr),
+            build_optimizer(cfg.opt, cfg.d_lr),
+        )
+
+    def get_n_params(self) -> int:
+        n = 0
+        for tree in (self.state.g_params, self.state.d_params):
+            n += sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+        return n
+
+    # -- pretrained loading -----------------------------------------------
+    def g_load_pretrained(self, ckpt_path: str, load_last: bool = False):
+        self._load_pretrained("G", ckpt_path, load_last)
+
+    def d_load_pretrained(self, ckpt_path: str, load_last: bool = False):
+        self._load_pretrained("D", ckpt_path, load_last)
+
+    def _load_pretrained(self, which: str, ckpt_path: str, load_last: bool):
+        from ..utils.checkpoint import load_pytree
+
+        skip = () if load_last else (("fc_4",) if which == "D" else ())
+        if ckpt_path.endswith(".ckpt") and _is_torch_ckpt(ckpt_path):
+            if which == "G":
+                loaded = load_torch_generator(ckpt_path)
+            else:
+                loaded = load_torch_discriminator(
+                    ckpt_path, self.cfg.dpool_slen, self.cfg.denc_fmaps[-1])
+        else:
+            tree, _ = load_pytree(ckpt_path)
+            loaded = tree.get("state_dict", tree)
+        if which == "G":
+            model_tree = {"params": self.state.g_params, **self.state.g_vars}
+            merged = filter_merge_state(model_tree, loaded, skip_names=skip)
+            g_vars = {k: v for k, v in merged.items() if k != "params"}
+            self.state = self.state.replace(g_params=merged["params"], g_vars=g_vars)
+        else:
+            model_tree = {"params": self.state.d_params, **self.state.d_vars}
+            merged = filter_merge_state(model_tree, loaded, skip_names=skip)
+            d_vars = {k: v for k, v in merged.items() if k != "params"}
+            self.state = self.state.replace(d_params=merged["params"], d_vars=d_vars)
+
+    # -- inference ----------------------------------------------------------
+    def _gfwd_jit(self):
+        if self._jit_gfwd is None:
+            def gfwd(g_params, g_vars, x, z):
+                out, hall = self.G.apply({"params": g_params, **g_vars}, x, z=z,
+                                         ret_hid=True, train=False)
+                return out, hall
+            self._jit_gfwd = jax.jit(gfwd)
+        return self._jit_gfwd
+
+    def infer_G(self, noisy, z=None, ret_hid: bool = False):
+        out, hall = self._gfwd_jit()(self.state.g_params, self.state.g_vars, noisy, z)
+        if ret_hid:
+            return out, hall
+        return out
+
+    def generate(self, inwav: np.ndarray, z: Optional[np.ndarray] = None,
+                 chunk_buckets: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+        """Chunked enhancement of one (already normalized+pre-emphasized) waveform.
+
+        The reference loops sequentially over 16384-sample chunks reusing the first
+        chunk's z (ref model.py:116-157).  TPU-native version: all chunks become ONE
+        device batch (the chunk grid is embarrassingly parallel) with the z row tiled —
+        same math, one pass.  `chunk_buckets` pads the chunk count to the next power of
+        two to bound the number of distinct compiled shapes.
+        """
+        N = self.cfg.slice_size
+        T = int(np.asarray(inwav).reshape(-1).shape[0])
+        wav = np.asarray(inwav, np.float32).reshape(-1)
+        n_chunks = -(-T // N)
+        n_padded = n_chunks
+        if chunk_buckets and n_chunks > 1:
+            n_padded = 1 << (n_chunks - 1).bit_length()
+        x = np.zeros((n_padded * N,), np.float32)
+        x[:T] = wav
+        x = x.reshape(n_padded, N, 1)
+        if not self.G.no_z:
+            if z is None:
+                zrow = self.G.sample_z(
+                    jax.random.PRNGKey(self.cfg.seed), (1, N, 1))
+                self.z = np.asarray(zrow)
+            else:
+                self.z = np.asarray(z).reshape(1, *np.asarray(z).shape[-2:])
+            zb = jnp.tile(jnp.asarray(self.z), (n_padded, 1, 1))
+        else:
+            zb = None
+        out, hall = self._gfwd_jit()(self.state.g_params, self.state.g_vars,
+                                     jnp.asarray(x), zb)
+        c_res = np.asarray(out).reshape(-1)[:T]
+        c_res = de_emphasize_np(c_res, self.preemph)
+        enc_keys = [k for k in hall.keys() if k.startswith("enc_") and "zc" not in k]
+        g_c = np.asarray(hall[f"enc_{max(int(k.split('_')[1]) for k in enc_keys)}"])
+        return c_res, g_c[:n_chunks]
+
+    def discriminate(self, cwav, nwav):
+        d_in = jnp.concatenate([cwav, nwav], axis=-1)
+        (y, _) = self.D.apply({"params": self.state.d_params, **self.state.d_vars},
+                              d_in, train=False)
+        return y
+
+    # -- training -----------------------------------------------------------
+    def _setup_parallel(self):
+        cfg = self.cfg
+        if cfg.dp and cfg.dp > 1:
+            from ..parallel import make_mesh, replicate
+            self.mesh = make_mesh(cfg.dp)
+            self.state = replicate(self.state, self.mesh)
+
+    def _shard_batch(self, *arrays):
+        if self.mesh is None:
+            return arrays
+        from ..parallel import shard_batch
+        return tuple(shard_batch(list(arrays), self.mesh))
+
+    def prepare_train(self, batch_size: Optional[int] = None):
+        if self.state is None:
+            self.init_state(batch_size=batch_size or 1)
+        g_tx, d_tx = self.build_optimizers()
+        step = make_segan_train_step(self.G, self.D, g_tx, d_tx, self.cfg.reg_loss)
+        self._jit_step = jax.jit(step, donate_argnums=(0,))
+        self._setup_parallel()
+        return self._jit_step
+
+    def train_step(self, clean, noisy, mask, rng, l1_weight: float):
+        clean, noisy, mask = self._shard_batch(clean, noisy, mask)
+        new_state, metrics, Genh, z = self._jit_step(
+            self.state, clean, noisy, mask, rng, jnp.float32(l1_weight))
+        self.state = new_state
+        return metrics, Genh, z
+
+    def train(self, cfg: SEGANConfig, dloader, criterion=None,
+              l1_init: float = 100.0, l1_dec_step: float = 1e-5,
+              l1_dec_epoch: int = 100, log_freq: int = 50, va_dloader=None,
+              device=None):
+        """The SEGAN training loop (ref model.py:230-437)."""
+        from ..utils.logging import TrainLogger
+
+        self.writer = TrainLogger(os.path.join(self.save_path, "train"))
+        self.prepare_train(cfg.batch_size)
+        eoe_g_saver = Saver(cfg.save_path, max_ckpts=3, prefix="EOE_G-")
+        eoe_d_saver = Saver(cfg.save_path, max_ckpts=3, prefix="EOE_D-")
+        best_saver_g = Saver(cfg.save_path, max_ckpts=3, prefix=f"{self.name}-G-")
+        best_saver_d = Saver(cfg.save_path, max_ckpts=3, prefix=f"{self.name}-D-")
+        num_batches = len(dloader)
+        l1_weight = l1_init
+        iteration = 1
+        timings = []
+        evals = {}
+        noisy_evals = {}
+        noisy_samples = None
+        clean_samples = None
+        z_sample = None
+        patience = cfg.patience
+        best_val_obj = 0
+        rng = jax.random.PRNGKey(cfg.seed)
+
+        for epoch in range(1, cfg.epoch + 1):
+            beg_t = timeit.default_timer()
+            for bidx, batch in enumerate(dloader, start=1):
+                if epoch >= l1_dec_epoch and l1_weight > 0:
+                    l1_weight = max(0.0, l1_weight - l1_dec_step)
+                clean = batch["clean"][..., None]  # (B, T, 1)
+                noisy = batch["noisy"][..., None]
+                mask = batch.get("mask", np.ones((clean.shape[0],), np.float32))
+                rng, krun = jax.random.split(rng)
+                metrics, Genh, z = self.train_step(clean, noisy, mask, krun, l1_weight)
+                if noisy_samples is None:
+                    noisy_samples = np.asarray(noisy[:20])
+                    clean_samples = np.asarray(clean[:20])
+                    if z is not None:
+                        z_sample = np.asarray(z[:20])
+                end_t = timeit.default_timer()
+                timings.append(end_t - beg_t)
+                beg_t = timeit.default_timer()
+                if bidx % log_freq == 0 or bidx >= num_batches:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    print(
+                        f"(Iter {iteration}) Batch {bidx}/{num_batches} (Epoch {epoch})"
+                        f" d_real:{m['d_real']:.4f}, d_fake:{m['d_fake']:.4f},"
+                        f" g_adv:{m['g_adv']:.4f}, g_l1:{m['g_l1']:.4f}"
+                        f" l1_w: {l1_weight:.2f}, btime: {timings[-1]:.4f} s,"
+                        f" mbtime: {np.mean(timings):.4f} s"
+                    )
+                    self.writer.scalar("D_real", m["d_real"], iteration)
+                    self.writer.scalar("D_fake", m["d_fake"], iteration)
+                    self.writer.scalar("G_adv", m["g_adv"], iteration)
+                    self.writer.scalar("G_l1", m["g_l1"], iteration)
+                    self.writer.histogram("Gz", np.asarray(Genh), iteration)
+                    self.writer.histogram("clean", np.asarray(clean), iteration)
+                    self.writer.histogram("noisy", np.asarray(noisy), iteration)
+                    self.writer.weight_norms(self.state.g_params, "Gtotal", iteration)
+                    self.writer.weight_norms(self.state.d_params, "Dtotal", iteration)
+                    if not cfg.no_train_gen:
+                        self.gen_train_samples(clean_samples, noisy_samples, z_sample,
+                                               iteration=iteration)
+                iteration += 1
+
+            if va_dloader is not None:
+                if len(noisy_evals) == 0:
+                    evals_, noisy_evals_ = self.evaluate(cfg, va_dloader, log_freq,
+                                                         do_noisy=True)
+                    for k, v in noisy_evals_.items():
+                        noisy_evals.setdefault(k, []).extend(v)
+                        self.writer.scalar(f"noisy-{k}", np.mean(v), epoch)
+                else:
+                    evals_ = self.evaluate(cfg, va_dloader, log_freq, do_noisy=False)
+                for k, v in evals_.items():
+                    evals.setdefault(k, []).extend(v)
+                    self.writer.scalar(f"Genh-{k}", np.mean(v), epoch)
+                val_obj = (np.mean(evals_["covl"]) + np.mean(evals_["pesq"])
+                           + np.mean(evals_["ssnr"]))
+                self.writer.scalar("Genh-val_obj", val_obj, epoch)
+                if val_obj > best_val_obj:
+                    print(f"Val obj (COVL + SSNR + PESQ) improved "
+                          f"{best_val_obj} -> {val_obj}")
+                    best_val_obj = val_obj
+                    patience = cfg.patience
+                    self.save(best_saver_g, best_saver_d, iteration, best_val=True)
+                else:
+                    patience -= 1
+                    print(f"Val loss did not improve. Patience {patience}/{cfg.patience}")
+                    if patience <= 0:
+                        print("STOPPING SEGAN TRAIN: OUT OF PATIENCE.")
+                        break
+
+            self.save(eoe_g_saver, eoe_d_saver, iteration)
+
+    def save(self, g_saver: Saver, d_saver: Saver, step: int, best_val: bool = False):
+        g_tree = {"params": jax.device_get(self.state.g_params),
+                  **jax.device_get(self.state.g_vars)}
+        g_saver.save("Generator", step, g_tree,
+                     opt_tree=None, best_val=best_val)
+        if self.D is not None and self.state.d_params is not None:
+            d_tree = {"params": jax.device_get(self.state.d_params),
+                      **jax.device_get(self.state.d_vars)}
+            d_saver.save("Discriminator", step, d_tree, best_val=best_val)
+
+    def gen_train_samples(self, clean_samples, noisy_samples, z_sample,
+                          iteration=None):
+        """Dump sample wavs during training (ref model.py:177-217)."""
+        from ..data.wav_io import write_wav
+
+        n = noisy_samples.shape[0]
+        zb = None
+        if z_sample is not None:
+            zb = jnp.asarray(z_sample[:n])
+        canvas, _ = self._gfwd_jit()(self.state.g_params, self.state.g_vars,
+                                     jnp.asarray(noisy_samples), zb)
+        canvas = np.asarray(canvas)
+        dif = noisy_samples - clean_samples
+        os.makedirs(self.save_path, exist_ok=True)
+        for m in range(n):
+            m_canvas = de_emphasize_np(canvas[m, :, 0], self.preemph)
+            write_wav(os.path.join(self.save_path, f"sample_{iteration}-{m}.wav"),
+                      m_canvas, 16000)
+            gtruth_path = os.path.join(self.save_path, f"gtruth_{m}.wav")
+            if not os.path.exists(gtruth_path):
+                write_wav(gtruth_path,
+                          de_emphasize_np(clean_samples[m, :, 0], self.preemph), 16000)
+                write_wav(os.path.join(self.save_path, f"noisy_{m}.wav"),
+                          de_emphasize_np(noisy_samples[m, :, 0], self.preemph), 16000)
+                write_wav(os.path.join(self.save_path, f"dif_{m}.wav"),
+                          de_emphasize_np(dif[m, :, 0], self.preemph), 16000)
+
+    # -- evaluation -----------------------------------------------------------
+    def evaluate(self, cfg: SEGANConfig, dloader, log_freq: int,
+                 do_noisy: bool = False, max_samples: int = 1):
+        """Objective eval with PESQ/SSNR/CSIG/CBAK/COVL over a host process pool
+        (ref model.py:440-507)."""
+        from ..metrics import composite_helper
+
+        evals = {"pesq": [], "ssnr": [], "csig": [], "cbak": [], "covl": []}
+        noisy_evals = {"pesq": [], "ssnr": [], "csig": [], "cbak": [], "covl": []}
+        if self.pool is None:
+            self.pool = mp.Pool(cfg.eval_workers)
+        map_ret = []
+        for bidx, batch in enumerate(dloader, start=1):
+            clean = np.asarray(batch["clean"], np.float32)  # (B, T)
+            noisy = np.asarray(batch["noisy"], np.float32)
+            Genh = np.asarray(self.infer_G(jnp.asarray(noisy[..., None])))[..., 0]
+            clean_de = de_emphasize_np(clean, self.preemph)
+            genh_de = de_emphasize_np(Genh, self.preemph)
+            beg_t = timeit.default_timer()
+            if do_noisy:
+                noisy_de = de_emphasize_np(noisy, self.preemph)
+                args = [(clean_de[i], genh_de[i], noisy_de[i])
+                        for i in range(clean.shape[0])]
+            else:
+                args = [(clean_de[i], genh_de[i], None) for i in range(clean.shape[0])]
+            map_ret = self.pool.map(composite_helper, args)
+            end_t = timeit.default_timer()
+            print(f"Time to process eval with {clean.shape[0]} samples"
+                  f" : {end_t - beg_t} s")
+            if bidx >= max_samples:
+                break
+
+        def fill(ret_dict, in_dict):
+            for k, v in in_dict.items():
+                ret_dict[k].append(v)
+
+        if do_noisy:
+            for eval_, noisy_eval_ in map_ret:
+                fill(evals, eval_)
+                fill(noisy_evals, noisy_eval_)
+            return evals, noisy_evals
+        for eval_ in map_ret:
+            fill(evals, eval_)
+        return evals
+
+
+def _is_torch_ckpt(path: str) -> bool:
+    """Heuristic: torch ckpts are zip ('PK') or legacy pickle; ours are npz (also zip!)
+    — so sniff for the numpy header inside."""
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(path) as z:
+            names = z.namelist()
+            return not any(n.endswith(".npy") or n == "__meta__.npy" for n in names)
+    except zipfile.BadZipFile:
+        return True  # legacy torch pickle

@@ -1,0 +1,465 @@
+"""WSEGAN (whisper-to-voiced) and AEWSEGAN (autoencoder ablation) training engines.
+
+Reference: segan/models/model.py:509-766 (WSEGAN), :769-935 (AEWSEGAN).
+
+WSEGAN differences from SEGAN (all fused into one jitted step here):
+- iteration-driven loop resampling a fresh batch each iteration (ref model.py:572-574)
+- cost = BCE-with-logits when vanilla_gan else MSE (ref model.py:582-585)
+- extra fake pairs: misalign_pair (clean vs shuffled clean, ref :597-604) and interf_pair
+  (clean + random square wave @250/1k/4k Hz, ref :606-628); D loss weighted 1/2→1/3→1/4
+- G gets an STFT power loss (10·log10|STFT|², n_fft 2048 hop 160 win 320 normalized,
+  weight pow_weight, ref :638-654) and an L1 term masked to utterances whose name
+  contains 'additive' (ref :657-665)
+- xavier init everywhere (wsegan_weights_init, ref :45-60, applied :523-524)
+- generate() pads to a multiple of 1024 and runs one full pass (ref :755-766)
+"""
+from __future__ import annotations
+
+import os
+import timeit
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .segan import (
+    SEGAN,
+    GANTrainState,
+    MUTS,
+    masked_mean,
+    masked_mse,
+    masked_bce_logits,
+    build_optimizer,
+    apply_wsegan_weights_init,
+    Saver,
+)
+from ..ops.signal import de_emphasize_np, make_div_n
+from ..ops.stft import power_spectrum_db
+from ..utils.config import SEGANConfig
+
+_INTERF_FREQS = (250.0, 1000.0, 4000.0)
+_INTERF_AMPS = (0.01, 0.05, 0.1, 1.0)
+
+
+def _square_wave_batch(rng, bsz: int, T: int) -> jax.Array:
+    """Random-amplitude/freq square waves (ref model.py:610-624): t=linspace(0,2,32000),
+    sq = a * square(2π f t), truncated to T samples."""
+    kf, ka = jax.random.split(rng)
+    f = jnp.asarray(_INTERF_FREQS)[jax.random.randint(kf, (bsz,), 0, len(_INTERF_FREQS))]
+    a = jnp.asarray(_INTERF_AMPS)[jax.random.randint(ka, (bsz,), 0, len(_INTERF_AMPS))]
+    t = jnp.linspace(0.0, 2.0, 32000)[:T]  # same grid as the reference
+    phase = (f[:, None] * t[None, :]) % 1.0
+    sq = jnp.where(phase < 0.5, 1.0, -1.0)
+    return (a[:, None] * sq)[:, :, None]  # (B, T, 1)
+
+
+def make_wsegan_train_step(gen, disc, g_tx, d_tx, cfg: SEGANConfig):
+    cost = masked_bce_logits if cfg.vanilla_gan else masked_mse
+    misalign = cfg.misalign_pair
+    interf = cfg.interf_pair
+    pow_weight = cfg.pow_weight
+    n_fft = cfg.n_fft
+
+    def step(state: GANTrainState, clean, noisy, mask, additive_mask, rng, l1_weight):
+        kz, kd1, kd2, kd3, kd4, kd5, kshuf, kinterf, kdrop = jax.random.split(rng, 9)
+        z = gen.sample_z(kz, noisy.shape)
+
+        def gfwd(gp):
+            out, newv = gen.apply({"params": gp, **state.g_vars}, noisy, z=z,
+                                  train=True, mutable=list(MUTS),
+                                  rngs={"dropout": kdrop})
+            return out, newv
+
+        (Genh, g_vars_new), g_vjp = jax.vjp(gfwd, state.g_params)
+
+        def d_loss_fn(d_params):
+            dvars = state.d_vars
+            losses = {}
+
+            def d_pass(x_, ref, key, dv):
+                (y, _), m = disc.apply({"params": d_params, **dv},
+                                       jnp.concatenate([x_, ref], -1),
+                                       train=True, mutable=list(MUTS),
+                                       rngs={"phase": key})
+                return y, m
+
+            d_real, dvars = d_pass(clean, noisy, kd1, dvars)
+            losses["d_real"] = cost(d_real, 1.0, mask)
+            d_fake, dvars = d_pass(jax.lax.stop_gradient(Genh), noisy, kd2, dvars)
+            losses["d_fake"] = cost(d_fake, 0.0, mask)
+            d_weight = 0.5
+            d_loss = losses["d_real"] + losses["d_fake"]
+            if misalign:
+                perm = jax.random.permutation(kshuf, clean.shape[0])
+                clean_shuf = clean[perm]
+                d_shuf, dvars = d_pass(clean, clean_shuf, kd4, dvars)
+                losses["d_fake_shuf"] = cost(d_shuf, 0.0, mask)
+                d_weight = 1.0 / 3
+                d_loss = d_loss + losses["d_fake_shuf"]
+            if interf:
+                squares = _square_wave_batch(kinterf, clean.shape[0], clean.shape[1])
+                d_inter, dvars = d_pass(clean + squares, noisy, kd5, dvars)
+                losses["d_fake_inter"] = cost(d_inter, 0.0, mask)
+                d_weight = 1.0 / 4
+                d_loss = d_loss + losses["d_fake_inter"]
+            d_loss = d_weight * d_loss
+            return d_loss, (dvars, losses)
+
+        (d_loss, (d_vars_mid, d_losses)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.d_params)
+        d_updates, d_opt_new = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params_new = optax.apply_updates(state.d_params, d_updates)
+
+        clean_pow = power_spectrum_db(clean[..., 0], n_fft)
+
+        def g_obj(Genh_):
+            (d_fake_, _), m3 = disc.apply(
+                {"params": d_params_new, **d_vars_mid},
+                jnp.concatenate([Genh_, noisy], -1),
+                train=True, mutable=list(MUTS), rngs={"phase": kd3})
+            g_adv = cost(d_fake_, 1.0, mask)
+            genh_pow = power_spectrum_db(Genh_[..., 0], n_fft)
+            pow_loss = pow_weight * masked_mean(jnp.abs(genh_pow - clean_pow), mask)
+            G_cost = g_adv + pow_loss
+            amask = additive_mask[:, None, None]
+            den_loss = l1_weight * masked_mean(
+                jnp.abs(Genh_ * amask - clean * amask), mask)
+            den_loss = jnp.where(l1_weight > 0, den_loss, 0.0)
+            G_cost = G_cost + den_loss
+            return G_cost, (m3, g_adv, pow_loss, den_loss)
+
+        (g_cost, (d_vars_new, g_adv, pow_loss, den_loss)), dGenh = (
+            jax.value_and_grad(g_obj, has_aux=True)(Genh))
+        vars_cot = jax.tree.map(jnp.zeros_like, g_vars_new)
+        (g_grads,) = g_vjp((dGenh, vars_cot))
+        g_updates, g_opt_new = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params_new = optax.apply_updates(state.g_params, g_updates)
+
+        new_state = state.replace(
+            g_params=g_params_new, g_vars=g_vars_new, g_opt=g_opt_new,
+            d_params=d_params_new, d_vars=d_vars_new, d_opt=d_opt_new,
+            step=state.step + 1)
+        metrics = {"d_loss": d_loss, "g_loss": g_cost, "g_adv": g_adv,
+                   "pow_loss": pow_loss, "den_loss": den_loss, **d_losses}
+        return new_state, metrics, Genh, z
+
+    return step
+
+
+class WSEGAN(SEGAN):
+    name = "WSEGAN"
+
+    def __init__(self, cfg: SEGANConfig, generator=None, discriminator=None):
+        super().__init__(cfg, generator, discriminator)
+        self.lbd = 1
+        self.critic_iters = 1
+        self.misalign_pair = cfg.misalign_pair
+        self.interf_pair = cfg.interf_pair
+        self.pow_weight = cfg.pow_weight
+        self.vanilla_gan = cfg.vanilla_gan
+        self.n_fft = cfg.n_fft
+
+    def init_state(self, rng=None, batch_size: int = 1):
+        state = super().init_state(rng, batch_size)
+        # xavier re-init everywhere (ref model.py:523-524 → wsegan_weights_init)
+        key = jax.random.PRNGKey(self.cfg.seed + 1)
+        kg, kd = jax.random.split(key)
+        state = state.replace(
+            g_params=apply_wsegan_weights_init(state.g_params, kg),
+            d_params=apply_wsegan_weights_init(state.d_params, kd),
+        )
+        # re-init optimizer states to match fresh params
+        g_tx, d_tx = self.build_optimizers()
+        state = state.replace(g_opt=g_tx.init(state.g_params),
+                              d_opt=d_tx.init(state.d_params))
+        self.state = state
+        return state
+
+    def prepare_train(self, batch_size: Optional[int] = None):
+        if self.state is None:
+            self.init_state(batch_size=batch_size or 1)
+        g_tx, d_tx = self.build_optimizers()
+        step = make_wsegan_train_step(self.G, self.D, g_tx, d_tx, self.cfg)
+        self._jit_step = jax.jit(step, donate_argnums=(0,))
+        self._setup_parallel()
+        return self._jit_step
+
+    def train_step(self, clean, noisy, mask, additive_mask, rng, l1_weight: float):
+        clean, noisy, mask, additive_mask = self._shard_batch(
+            clean, noisy, mask, additive_mask)
+        new_state, metrics, Genh, z = self._jit_step(
+            self.state, clean, noisy, mask, additive_mask, rng,
+            jnp.float32(l1_weight))
+        self.state = new_state
+        return metrics, Genh, z
+
+    def train(self, cfg: SEGANConfig, dloader, criterion=None, l1_init: float = 100.0,
+              l1_dec_step: float = 1e-5, l1_dec_epoch: int = 100, log_freq: int = 50,
+              va_dloader=None, device=None):
+        """Iteration-driven loop resampling fresh batches (ref model.py:541-753)."""
+        from ..utils.logging import TrainLogger
+
+        self.writer = TrainLogger(os.path.join(cfg.save_path, "train"))
+        self.prepare_train(cfg.batch_size)
+        eoe_g_saver = Saver(cfg.save_path, max_ckpts=3, prefix="EOE_G-")
+        eoe_d_saver = Saver(cfg.save_path, max_ckpts=3, prefix="EOE_D-")
+        num_batches = len(dloader)
+        l1_weight = l1_init
+        timings = []
+        noisy_samples = clean_samples = z_sample = None
+        rng = jax.random.PRNGKey(cfg.seed)
+
+        def batch_stream():
+            while True:
+                for b in dloader:
+                    yield b
+
+        stream = batch_stream()
+        total_iters = cfg.epoch * num_batches
+        beg_t = timeit.default_timer()
+        for iteration in range(1, total_iters + 1):
+            batch = next(stream)
+            clean = batch["clean"][..., None]
+            noisy = batch["noisy"][..., None]
+            mask = batch.get("mask", np.ones((clean.shape[0],), np.float32))
+            additive_mask = np.asarray(
+                [1.0 if "additive" in u else 0.0 for u in batch["uttname"]], np.float32)
+            rng, krun = jax.random.split(rng)
+            metrics, Genh, z = self.train_step(clean, noisy, mask, additive_mask,
+                                               krun, l1_weight)
+            end_t = timeit.default_timer()
+            timings.append(end_t - beg_t)
+            beg_t = timeit.default_timer()
+            if noisy_samples is None:
+                noisy_samples = np.asarray(noisy[:20])
+                clean_samples = np.asarray(clean[:20])
+                if z is not None:
+                    z_sample = np.asarray(z[:20])
+            if iteration % log_freq == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                print(f"Iter {iteration}/{total_iters} ({num_batches} bpe)"
+                      f" d_loss:{m['d_loss']:.4f}, g_loss: {m['g_loss']:.4f},"
+                      f" pow_loss: {m['pow_loss']:.4f}, den_loss: {m['den_loss']:.4f}"
+                      f" btime: {timings[-1]:.4f} s, mbtime: {np.mean(timings):.4f} s")
+                self.writer.scalar("D_loss", m["d_loss"], iteration)
+                self.writer.scalar("G_loss", m["g_loss"], iteration)
+                self.writer.scalar("G_adv_loss", m["g_adv"], iteration)
+                self.writer.scalar("G_pow_loss", m["pow_loss"], iteration)
+                self.writer.histogram("Gz", np.asarray(Genh), iteration)
+                self.writer.weight_norms(self.state.g_params, "Gtotal", iteration)
+                self.writer.weight_norms(self.state.d_params, "Dtotal", iteration)
+                self._log_skip_alphas(iteration)
+                if not cfg.no_train_gen:
+                    self.gen_train_samples(clean_samples, noisy_samples, z_sample,
+                                           iteration=iteration)
+            if iteration % num_batches == 0:
+                self.save(eoe_g_saver, eoe_d_saver, iteration)
+
+    def _log_skip_alphas(self, iteration: int):
+        """skip-alpha histograms (ref model.py:720-727)."""
+        for name, sub in self.state.g_params.items():
+            if name.startswith("alpha_") and isinstance(sub, dict) and "skip_k" in sub:
+                v = sub["skip_k"]
+                if not isinstance(v, dict):
+                    self.writer.histogram(f"skip_{name}", np.asarray(v), iteration)
+
+    def generate(self, inwav, z=None, chunk_buckets: bool = False):
+        """Single full pass padded to a multiple of 1024 (ref model.py:755-766)."""
+        wav = np.asarray(inwav, np.float32).reshape(-1)
+        ori_len = wav.shape[0]
+        p_wav = np.asarray(make_div_n(jnp.asarray(wav), 1024))
+        x = p_wav[None, :, None]
+        zb = None
+        if not self.G.no_z:
+            t = x.shape[1]
+            for p in self.G.poolings:
+                t //= p
+            if z is None:
+                zb = jax.random.normal(jax.random.PRNGKey(self.cfg.seed),
+                                       (1, t, self.G.effective_z_dim))
+            else:
+                zb = jnp.asarray(z)
+        out, hall = self.G.apply({"params": self.state.g_params, **self.state.g_vars},
+                                 jnp.asarray(x), z=zb, ret_hid=True, train=False)
+        c_res = np.asarray(out)[0, :ori_len, 0]
+        c_res = de_emphasize_np(c_res, self.preemph)
+        return c_res, hall
+
+
+def make_ae_train_step(gen, g_tx, cfg: SEGANConfig, use_l1: bool):
+    def step(state: GANTrainState, clean, noisy, mask, rng, l1_weight):
+        kz, kdrop = jax.random.split(rng)
+        z = gen.sample_z(kz, noisy.shape)
+
+        def loss_fn(gp):
+            Genh, newv = gen.apply({"params": gp, **state.g_vars}, noisy, z=z,
+                                   train=True, mutable=list(MUTS),
+                                   rngs={"dropout": kdrop})
+            if use_l1:
+                loss = masked_mean(jnp.abs(Genh - clean), mask)
+            else:
+                loss = masked_mean((Genh - clean) ** 2, mask)
+            return loss, (newv, Genh)
+
+        (loss, (g_vars_new, Genh)), g_grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.g_params)
+        g_updates, g_opt_new = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params_new = optax.apply_updates(state.g_params, g_updates)
+        new_state = state.replace(g_params=g_params_new, g_vars=g_vars_new,
+                                  g_opt=g_opt_new, step=state.step + 1)
+        return new_state, {"loss": loss}, Genh, z
+
+    return step
+
+
+class AEWSEGAN(WSEGAN):
+    """Autoencoder ablation: no discriminator, pure regression (ref model.py:769-935).
+
+    NOTE: the reference's AEWSEGAN references `self.l1_loss` which only exists in legacy
+    configs (a latent crash, ref model.py:823 / SURVEY §2.2); we derive it from
+    cfg.legacy_l1_loss when present, else reg_loss == 'l1_loss'.
+    """
+
+    name = "AEWSEGAN"
+
+    def __init__(self, cfg: SEGANConfig, generator=None, discriminator=None):
+        super().__init__(cfg, generator, discriminator)
+        self.D = None
+        if cfg.legacy_l1_loss is not None:
+            self.use_l1 = bool(cfg.legacy_l1_loss)
+        else:
+            self.use_l1 = cfg.reg_loss == "l1_loss"
+
+    def init_state(self, rng=None, batch_size: int = 1):
+        cfg = self.cfg
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+        kg, kz = jax.random.split(rng)
+        from flax.core import unfreeze
+
+        x = jnp.zeros((batch_size, cfg.slice_size, 1), jnp.float32)
+        g_variables = unfreeze(self.G.init({"params": kg, "z": kz, "dropout": kz},
+                                           x, train=True))
+        g_params = g_variables.pop("params")
+        g_params = apply_wsegan_weights_init(g_params, jax.random.PRNGKey(cfg.seed + 1))
+        g_tx = self._build_g_tx()
+        self.state = GANTrainState(
+            g_params=g_params, g_vars=g_variables, g_opt=g_tx.init(g_params),
+            d_params=None, d_vars=None, d_opt=None, step=jnp.zeros((), jnp.int32))
+        return self.state
+
+    def _build_g_tx(self):
+        cfg = self.cfg
+        if cfg.opt == "rmsprop":
+            return build_optimizer("rmsprop", cfg.g_lr)
+        # ref model.py:790: Adam betas (0.5, 0.9) for the AE variant
+        return build_optimizer("adam", cfg.g_lr, betas=(0.5, 0.9))
+
+    def prepare_train(self, batch_size: Optional[int] = None):
+        if self.state is None:
+            self.init_state(batch_size=batch_size or 1)
+        g_tx = self._build_g_tx()
+        step = make_ae_train_step(self.G, g_tx, self.cfg, self.use_l1)
+        self._jit_step = jax.jit(step, donate_argnums=(0,))
+        self._setup_parallel()
+        return self._jit_step
+
+    def train_step(self, clean, noisy, mask, rng, l1_weight: float):
+        clean, noisy, mask = self._shard_batch(clean, noisy, mask)
+        new_state, metrics, Genh, z = self._jit_step(
+            self.state, clean, noisy, mask, rng, jnp.float32(l1_weight))
+        self.state = new_state
+        return metrics, Genh, z
+
+    def train(self, cfg: SEGANConfig, dloader, criterion=None, l1_init=100.0,
+              l1_dec_step=1e-5, l1_dec_epoch=100, log_freq=50, va_dloader=None,
+              device=None):
+        from ..utils.logging import TrainLogger
+
+        self.writer = TrainLogger(os.path.join(cfg.save_path, "train"))
+        self.prepare_train(cfg.batch_size)
+        eoe_g_saver = Saver(cfg.save_path, max_ckpts=3, prefix="EOE_G-")
+        num_batches = len(dloader)
+        timings = []
+        best_val_obj = np.inf
+        noisy_samples = clean_samples = z_sample = None
+        rng = jax.random.PRNGKey(cfg.seed)
+
+        def batch_stream():
+            while True:
+                for b in dloader:
+                    yield b
+
+        stream = batch_stream()
+        total_iters = cfg.epoch * num_batches
+        beg_t = timeit.default_timer()
+        for iteration in range(1, total_iters + 1):
+            batch = next(stream)
+            clean = batch["clean"][..., None]
+            noisy = batch["noisy"][..., None]
+            mask = batch.get("mask", np.ones((clean.shape[0],), np.float32))
+            rng, krun = jax.random.split(rng)
+            metrics, Genh, z = self.train_step(clean, noisy, mask, krun, l1_init)
+            end_t = timeit.default_timer()
+            timings.append(end_t - beg_t)
+            beg_t = timeit.default_timer()
+            if noisy_samples is None:
+                noisy_samples = np.asarray(noisy[:20])
+                clean_samples = np.asarray(clean[:20])
+                if z is not None:
+                    z_sample = np.asarray(z[:20])
+            if iteration % log_freq == 0:
+                loss = float(metrics["loss"])
+                # power loss logged but not backwarded (ref model.py:842-857)
+                genh_pow = np.asarray(power_spectrum_db(jnp.asarray(Genh)[..., 0],
+                                                        cfg.n_fft))
+                clean_pow = np.asarray(power_spectrum_db(jnp.asarray(clean)[..., 0],
+                                                         cfg.n_fft))
+                pow_loss = float(np.mean(np.abs(genh_pow - clean_pow)))
+                print(f"Iter {iteration}/{total_iters} ({num_batches} bpe)"
+                      f" g_l2_loss:{loss:.4f}, pow_loss: {pow_loss:.4f},"
+                      f" btime: {timings[-1]:.4f} s, mbtime: {np.mean(timings):.4f} s")
+                self.writer.scalar("g_l2/l1_loss", loss, iteration)
+                self.writer.scalar("G_pow_loss", pow_loss, iteration)
+                self._log_skip_alphas(iteration)
+                if not cfg.no_train_gen:
+                    self.gen_train_samples(clean_samples, noisy_samples, z_sample,
+                                           iteration=iteration)
+                if va_dloader is not None:
+                    sd = self.evaluate_sd(cfg, va_dloader)
+                    self.writer.scalar("Genh_SD", sd, iteration)
+                    if sd < best_val_obj:
+                        best_saver = Saver(cfg.save_path, max_ckpts=3,
+                                           prefix=f"{self.name}-G-")
+                        g_tree = {"params": jax.device_get(self.state.g_params),
+                                  **jax.device_get(self.state.g_vars)}
+                        best_saver.save("Generator", iteration, g_tree, best_val=True)
+                        best_val_obj = sd
+            if iteration % num_batches == 0:
+                g_tree = {"params": jax.device_get(self.state.g_params),
+                          **jax.device_get(self.state.g_vars)}
+                eoe_g_saver.save("Generator", iteration, g_tree)
+
+    def evaluate_sd(self, cfg: SEGANConfig, dloader, max_samples: int = 1) -> float:
+        """Spectral distortion (dB): mean |log-power(Genh) - log-power(clean)|.
+
+        The reference's AEWSEGAN eval path unpacks SEGAN.evaluate's dicts into scalars
+        and would crash (model.py:917-931); this is the working equivalent of the SD (dB)
+        metric it intended to track."""
+        sds = []
+        for bidx, batch in enumerate(dloader, start=1):
+            noisy = jnp.asarray(batch["noisy"][..., None])
+            clean = jnp.asarray(batch["clean"][..., None])
+            Genh = self.infer_G(noisy)
+            gp = power_spectrum_db(Genh[..., 0], cfg.n_fft)
+            cp = power_spectrum_db(clean[..., 0], cfg.n_fft)
+            sds.append(float(jnp.mean(jnp.abs(gp - cp))))
+            if bidx >= max_samples:
+                break
+        return float(np.mean(sds))
+
+    def save(self, g_saver, d_saver, step, best_val: bool = False):
+        g_tree = {"params": jax.device_get(self.state.g_params),
+                  **jax.device_get(self.state.g_vars)}
+        g_saver.save("Generator", step, g_tree, best_val=best_val)

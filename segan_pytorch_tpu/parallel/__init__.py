@@ -1,0 +1,7 @@
+from .mesh import make_mesh, initialize_distributed  # noqa: F401
+from .sharding import (  # noqa: F401
+    replicate,
+    shard_batch,
+    batch_sharding,
+    replicated_sharding,
+)

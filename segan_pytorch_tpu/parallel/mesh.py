@@ -1,0 +1,43 @@
+"""Device mesh construction and multi-host initialization.
+
+The reference is strictly single-GPU ("Multi-GPU is not supported yet", ref README.md:79).
+Here data parallelism is first-class: a 1-D 'data' mesh over all chips (ICI within a slice,
+DCN across slices), with the batch axis sharded and parameters replicated.  XLA inserts the
+gradient all-reduce (psum over 'data') automatically under jit, and BatchNorm reductions in
+D become cross-replica for free (see models/modules.py:BatchNorm1d).
+
+A 'model' axis is reserved for sharding the D head FC (16·1024→256) at very large batch,
+though at ~91M params SEGAN needs no tensor parallelism (SURVEY §2.6).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None):
+    """Multi-host bring-up via jax.distributed (no-op when single-process)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_mesh(dp: Optional[int] = None, axis_names: Sequence[str] = ("data",),
+              devices=None) -> Mesh:
+    """Build a 1-D data mesh over `dp` devices (default: all)."""
+    devices = devices if devices is not None else jax.devices()
+    if dp is None or dp <= 0:
+        dp = len(devices)
+    if dp > len(devices):
+        raise ValueError(f"dp={dp} exceeds available devices {len(devices)}")
+    dev = np.asarray(devices[:dp]).reshape((dp,))
+    return Mesh(dev, axis_names=tuple(axis_names))

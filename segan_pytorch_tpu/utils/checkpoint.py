@@ -1,0 +1,270 @@
+"""Checkpointing: reference-compatible rotating JSON index + npz pytree payloads, and a
+torch→JAX converter for the released PyTorch checkpoints.
+
+Reference Saver semantics (segan/models/core.py:11-151):
+- index file '{prefix}checkpoints' with {'latest': [...], 'current': name}
+- payload files 'weights_{prefix}{model}-{step}.ckpt' holding {'step','state_dict','optimizer'}
+- rotation keeps max_ckpts entries; 'best_' prefix on validation improvement
+- partial pretrained load filters by key presence + shape match and skips the final
+  output layer unless load_last (core.py:120-151; we key the skip by layer name rather
+  than dict position, which is equivalent for all reference models)
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# flat <-> nested pytree-of-dicts
+# ---------------------------------------------------------------------------
+def flatten_tree(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_tree(v, f"{prefix}{k}/" if prefix or True else k))
+        return out
+    # leaf
+    out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def unflatten_tree(flat: Dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for path, v in flat.items():
+        parts = path.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_pytree(path: str, tree: Any, meta: Optional[dict] = None):
+    flat = flatten_tree(tree)
+    if meta is not None:
+        flat["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(path, **flat)
+
+
+def load_pytree(path: str) -> Tuple[dict, Optional[dict]]:
+    data = np.load(path, allow_pickle=False)
+    flat = {}
+    meta = None
+    for k in data.files:
+        if k == "__meta__":
+            meta = json.loads(bytes(data[k].tobytes()).decode())
+        else:
+            flat[k] = data[k]
+    return unflatten_tree(flat), meta
+
+
+# ---------------------------------------------------------------------------
+# Saver with the reference's rotating JSON index
+# ---------------------------------------------------------------------------
+class Saver:
+    def __init__(self, save_path: str, max_ckpts: int = 5, prefix: str = ""):
+        self.save_path = save_path
+        self.ckpt_path = os.path.join(save_path, f"{prefix}checkpoints")
+        self.max_ckpts = max_ckpts
+        self.prefix = prefix
+
+    def save(self, model_name: str, step: int, tree: Any, opt_tree: Any = None,
+             best_val: bool = False) -> str:
+        os.makedirs(self.save_path, exist_ok=True)
+        if os.path.exists(self.ckpt_path):
+            with open(self.ckpt_path, "r") as f:
+                ckpts = json.load(f)
+        else:
+            ckpts = {"latest": [], "current": []}
+        model_path = f"{model_name}-{step}.ckpt"
+        if best_val:
+            model_path = "best_" + model_path
+        model_path = f"{self.prefix}{model_path}"
+        latest = ckpts["latest"]
+        if len(latest) > 0 and self.max_ckpts is not None and len(latest) > self.max_ckpts:
+            todel = latest[0]
+            try:
+                os.remove(os.path.join(self.save_path, "weights_" + todel))
+                latest = latest[1:]
+            except FileNotFoundError:
+                print("ERROR: ckpt is not there?")
+        latest += [model_path]
+        ckpts["latest"] = latest
+        ckpts["current"] = model_path
+        with open(self.ckpt_path, "w") as f:
+            f.write(json.dumps(ckpts, indent=2))
+        payload = {"state_dict": tree}
+        if opt_tree is not None:
+            payload["optimizer"] = opt_tree
+        out = os.path.join(self.save_path, "weights_" + model_path)
+        save_pytree(out, payload, meta={"step": int(step)})
+        # np.savez appends .npz; keep the reference-style name by renaming
+        if os.path.exists(out + ".npz"):
+            os.replace(out + ".npz", out)
+        return out
+
+    def read_latest_checkpoint(self):
+        if not os.path.exists(self.ckpt_path):
+            print(f"[!] No checkpoint found in {self.save_path}")
+            return False
+        with open(self.ckpt_path, "r") as f:
+            ckpts = json.load(f)
+        return ckpts["current"]
+
+    def load_weights(self):
+        curr = self.read_latest_checkpoint()
+        if curr is False:
+            return None
+        tree, meta = load_pytree(os.path.join(self.save_path, "weights_" + curr))
+        print("[*] Loaded weights")
+        return tree, meta
+
+
+def filter_merge_state(model_tree: dict, loaded_tree: dict, skip_names=()) -> dict:
+    """Partial-load semantics (ref core.py:130-146): keep loaded leaves whose path exists
+    in the model with matching shape; skip any path containing a name in skip_names."""
+    model_flat = flatten_tree(model_tree)
+    loaded_flat = flatten_tree(loaded_tree)
+    merged = dict(model_flat)
+    n = 0
+    for k, v in loaded_flat.items():
+        if any(s in k for s in skip_names):
+            continue
+        if k in model_flat and model_flat[k].shape == v.shape:
+            merged[k] = v.astype(model_flat[k].dtype)
+            n += 1
+    print(f"Current Model keys: {len(model_flat)}")
+    print(f"Loading matching keys: {n}")
+    if n != len(model_flat):
+        print("WARNING: LOADING DIFFERENT NUM OF KEYS")
+    return unflatten_tree(merged)
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint conversion (released segan+_generator.ckpt etc.)
+# ---------------------------------------------------------------------------
+def _torch_state_dict(ckpt_file: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    st = torch.load(ckpt_file, map_location="cpu", weights_only=False)
+    if "state_dict" in st:
+        st = st["state_dict"]
+    out = {}
+    for k, v in st.items():
+        # legacy naming migration (ref weightG_fmt_converter.py:30-42)
+        if "gen_enc" in k:
+            k = k.replace("gen_enc", "enc_blocks")
+        elif "gen_dec" in k:
+            k = k.replace("gen_dec", "dec_blocks").replace("conv", "deconv")
+        try:
+            out[k] = v.detach().cpu().numpy()
+        except AttributeError:
+            continue  # num_batches_tracked etc. already handled below
+    return out
+
+
+def load_torch_generator(ckpt_file: str) -> dict:
+    """Convert a torch SEGAN Generator state-dict to our {'params': ...} tree.
+
+    torch layouts: Conv1d weight (Cout, Cin, K) -> ours (K, Cin, Cout);
+    ConvTranspose1d weight (Cin, Cout, K) -> ours (K, Cin, Cout);
+    alpha skips (1, C, 1) -> (C,); PReLU 'act.weight' (C,) unchanged.
+    """
+    st = _torch_state_dict(ckpt_file)
+    params: dict = {}
+
+    def put(path, arr):
+        node = params
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.asarray(arr, np.float32)
+
+    for k, v in st.items():
+        parts = k.split(".")
+        if parts[0] in ("enc_blocks", "dec_blocks"):
+            blk = f"{parts[0]}_{parts[1]}"
+            sub = parts[2]
+            leaf = parts[3]
+            if sub == "conv" and leaf == "weight":
+                put([blk, "conv", "weight"], np.transpose(v, (2, 1, 0)))
+            elif sub == "deconv" and leaf == "weight":
+                put([blk, "deconv", "weight"], np.transpose(v, (2, 0, 1)))
+            elif sub in ("conv", "deconv") and leaf == "bias":
+                put([blk, sub, "bias"], v)
+            elif sub == "act":
+                put([blk, "act", "weight"], v)
+            elif sub == "norm":
+                # BatchNorm weight/bias are params; running stats go to batch_stats
+                put([blk, "norm", leaf], v)
+        elif parts[0].startswith("alpha_"):
+            if len(parts) == 2 and parts[1] == "skip_k":
+                put([parts[0], "skip_k"], np.reshape(v, (-1,)))
+            elif parts[1] == "skip_k":  # conv skip: alpha_i.skip_k.weight/bias
+                if parts[2] == "weight":
+                    put([parts[0], "skip_k", "weight"], np.transpose(v, (2, 1, 0)))
+                else:
+                    put([parts[0], "skip_k", "bias"], v)
+    return {"params": params}
+
+
+def load_torch_discriminator(ckpt_file: str, pool_slen: int, last_fmaps: int) -> dict:
+    """Convert a torch SEGAN Discriminator state-dict to {'params','batch_stats'}.
+
+    The 'none'-head flatten order differs (torch (B, C, T) -> C*T; ours (B, T, C) -> T*C),
+    so fc.0's input dimension is permuted accordingly.
+    """
+    st = _torch_state_dict(ckpt_file)
+    params: dict = {}
+    batch_stats: dict = {}
+
+    def put(root, path, arr, dtype=np.float32):
+        node = root
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.asarray(arr, dtype)
+
+    for k, v in st.items():
+        parts = k.split(".")
+        if parts[0] == "enc_blocks":
+            blk = f"enc_blocks_{parts[1]}"
+            sub, leaf = parts[2], parts[3]
+            if sub == "conv" and leaf == "weight":
+                put(params, [blk, "conv", "weight"], np.transpose(v, (2, 1, 0)))
+            elif sub == "conv" and leaf == "bias":
+                put(params, [blk, "conv", "bias"], v)
+            elif sub == "act":
+                put(params, [blk, "act", "weight"], v)
+            elif sub == "norm":
+                if leaf in ("weight", "bias"):
+                    put(params, [blk, "norm", leaf], v)
+                elif leaf in ("running_mean", "running_var"):
+                    put(batch_stats, [blk, "norm", leaf], v)
+                # num_batches_tracked dropped
+        elif parts[0] == "fc":
+            idx = int(parts[1])
+            leaf = parts[2]
+            name = f"fc_{idx}"
+            if idx in (1, 3):  # PReLU
+                put(params, [name, "weight"], v)
+            elif leaf == "weight":
+                w = np.asarray(v)
+                if idx == 0:
+                    # (256, C*T) -> (256, C, T) -> (256, T, C) -> (T*C, 256)
+                    w = w.reshape(w.shape[0], last_fmaps, pool_slen)
+                    w = np.transpose(w, (0, 2, 1)).reshape(w.shape[0], -1)
+                put(params, [name, "weight"], w.T)
+            else:
+                put(params, [name, "bias"], v)
+        elif parts[0] in ("pool_conv",):
+            if parts[1] == "weight":
+                put(params, ["pool_conv", "weight"], np.transpose(v, (2, 1, 0)))
+            else:
+                put(params, ["pool_conv", "bias"], v)
+    out = {"params": params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return out

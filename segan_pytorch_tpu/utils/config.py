@@ -1,0 +1,171 @@
+"""Typed configuration for the SEGAN-TPU framework.
+
+The reference drives everything from a flat argparse namespace dumped as JSON ``train.opts``
+(ref: train.py:102-246, train.py:253-255) which is rehydrated at inference time through a
+trivial attribute shim (ref: clean.py:22-36).  We keep that exact JSON schema for
+interoperability — released ``train.opts`` files (e.g. ckpt_segan+/train.opts) must load —
+but expose it as a typed dataclass with defaults identical to the reference argparse.
+
+Legacy-key tolerance (ref SURVEY §2.5): shipped configs may carry a boolean ``l1_loss``
+instead of the newer ``reg_loss`` string (ckpt_segan+/train.opts:41); we accept both.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
+
+
+def _default_fmaps() -> List[int]:
+    return [64, 128, 256, 512, 1024]
+
+
+def _default_poolings() -> List[int]:
+    return [4, 4, 4, 4, 4]
+
+
+@dataclass
+class SEGANConfig:
+    """All training/inference options. Field names & defaults mirror ref train.py:102-246."""
+
+    # paths / io
+    save_path: str = "seganv1_ckpt"
+    d_pretrained_ckpt: Optional[str] = None
+    g_pretrained_ckpt: Optional[str] = None
+    cache_dir: str = "data_cache"
+    clean_trainset: str = "data/clean_trainset"
+    noisy_trainset: str = "data/noisy_trainset"
+    clean_valset: Optional[str] = None
+    noisy_valset: Optional[str] = None
+    h5_data_root: Optional[str] = None
+    h5: bool = False
+
+    # data
+    data_stride: float = 0.5
+    seed: int = 111
+    epoch: int = 100
+    patience: int = 100
+    batch_size: int = 100
+    save_freq: int = 50
+    slice_size: int = 16384
+
+    # optimization
+    opt: str = "rmsprop"
+    l1_dec_epoch: int = 100
+    l1_weight: float = 100.0
+    l1_dec_step: float = 1e-5
+    g_lr: float = 5e-5
+    d_lr: float = 5e-5
+    preemph: float = 0.95
+    max_samples: Optional[int] = None
+    eval_workers: int = 2
+    slice_workers: int = 1
+    num_workers: int = 1
+    no_cuda: bool = False  # kept for config-file compat; meaningless on TPU
+    random_scale: List[float] = field(default_factory=lambda: [1])
+    no_train_gen: bool = False
+    preemph_norm: bool = False
+
+    # model family
+    wsegan: bool = False
+    aewsegan: bool = False
+    vanilla_gan: bool = False
+    no_bias: bool = False
+    n_fft: int = 2048
+    reg_loss: str = "l1_loss"  # 'l1_loss' | 'mse_loss'
+
+    # G skip connections
+    skip_merge: str = "concat"
+    skip_type: str = "alpha"  # alpha | conv | constant
+    skip_init: str = "one"  # one | zero | randn
+    skip_kwidth: int = 11
+
+    # G architecture
+    gkwidth: int = 31
+    genc_fmaps: List[int] = field(default_factory=_default_fmaps)
+    genc_poolings: List[int] = field(default_factory=_default_poolings)
+    z_dim: int = 1024
+    gdec_fmaps: Optional[List[int]] = None
+    gdec_poolings: Optional[List[int]] = None
+    gdec_kwidth: Optional[int] = None
+    gnorm_type: Optional[str] = None
+    no_z: bool = False
+    no_skip: bool = False
+    pow_weight: float = 0.001
+    misalign_pair: bool = False
+    interf_pair: bool = False
+
+    # D architecture
+    denc_fmaps: List[int] = field(default_factory=_default_fmaps)
+    dpool_type: str = "none"  # none | conv | gmax | gavg | mlp
+    dpool_slen: int = 16
+    dkwidth: Optional[int] = None
+    denc_poolings: List[int] = field(default_factory=_default_poolings)
+    dnorm_type: Optional[str] = "bnorm"
+    phase_shift: Optional[int] = 5
+    sinc_conv: bool = False
+
+    # derived (ref train.py:248)
+    bias: bool = True
+
+    # --- TPU-native extensions (not in the reference argparse) ---
+    # number of data-parallel shards; 0/1 = single chip, >1 = shard batch over a mesh
+    dp: int = 1
+    # compute dtype for network matmuls/convs ('float32' or 'bfloat16'); params stay fp32
+    compute_dtype: str = "float32"
+    # BatchNorm statistics scope under data parallelism: 'global' (cross-replica, the
+    # natural pjit semantics) or reserved 'local' for shard_map per-replica stats
+    bn_stats: str = "global"
+    # legacy boolean from old config files (ckpt_segan+/train.opts:41); recorded only
+    legacy_l1_loss: Optional[bool] = None
+    # use fused Pallas kernels where available
+    use_pallas: bool = False
+
+    def __post_init__(self):
+        self.bias = not self.no_bias if "bias" not in self.__dict__ else self.bias
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_dict(cls, d: dict) -> "SEGANConfig":
+        """Build from a (possibly legacy) train.opts dict, tolerating unknown/missing keys."""
+        d = dict(d)
+        # legacy key: boolean l1_loss instead of reg_loss (ckpt_segan+/train.opts:41)
+        if "reg_loss" not in d and "l1_loss" in d:
+            d["legacy_l1_loss"] = bool(d["l1_loss"])
+            # the modern default is l1_loss (ref train.py:179-181)
+            d["reg_loss"] = "l1_loss"
+        d.pop("l1_loss", None)
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = {k: v for k, v in d.items() if k not in known}
+        kwargs = {k: v for k, v in d.items() if k in known}
+        cfg = cls(**kwargs)
+        # keep bias coherent if only no_bias was given (ref train.py:248)
+        if "bias" not in d:
+            cfg.bias = not cfg.no_bias
+        cfg._unknown = unknown  # type: ignore[attr-defined]
+        return cfg
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        return d
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+
+def load_train_opts(path: str) -> SEGANConfig:
+    """Load a reference-format train.opts JSON (ref: clean.py:33-36)."""
+    with open(path, "r") as f:
+        return SEGANConfig.from_dict(json.load(f))
+
+
+def dump_train_opts(cfg: SEGANConfig, save_path: Optional[str] = None) -> str:
+    """Dump config as train.opts JSON into cfg.save_path (ref: train.py:253-255)."""
+    save_path = save_path or cfg.save_path
+    os.makedirs(save_path, exist_ok=True)
+    out = os.path.join(save_path, "train.opts")
+    with open(out, "w") as f:
+        f.write(cfg.to_json())
+    return out

@@ -1,0 +1,53 @@
+"""Training observability: TensorBoard scalars/histograms + per-layer weight norms
+(ref model.py:331-386), with a JSONL fallback when tensorboardX is unavailable."""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+import numpy as np
+
+
+class TrainLogger:
+    def __init__(self, logdir: str):
+        os.makedirs(logdir, exist_ok=True)
+        self.logdir = logdir
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.tb = SummaryWriter(logdir)
+        except Exception:
+            self.tb = None
+        self.jsonl = open(os.path.join(logdir, "scalars.jsonl"), "a")
+
+    def scalar(self, tag: str, value: float, step: int):
+        if self.tb is not None:
+            self.tb.add_scalar(tag, float(value), step)
+        self.jsonl.write(json.dumps({"t": time.time(), "tag": tag,
+                                     "value": float(value), "step": int(step)}) + "\n")
+        self.jsonl.flush()
+
+    def histogram(self, tag: str, values: np.ndarray, step: int):
+        if self.tb is not None:
+            self.tb.add_histogram(tag, np.asarray(values), step, bins="sturges")
+
+    def weight_norms(self, params: Any, total_name: str, step: int):
+        """Per-layer + total weight norms (ref model.py:372-386)."""
+        import jax
+
+        from .checkpoint import flatten_tree
+
+        total = 0.0
+        for path, leaf in flatten_tree(jax.device_get(params)).items():
+            if path.endswith("weight"):
+                wn = float(np.linalg.norm(np.asarray(leaf)))
+                self.scalar(f"{path.replace('/', '.')}_Wnorm", wn, step)
+                total += wn
+        self.scalar(f"{total_name}_Wnorm", total, step)
+
+    def close(self):
+        if self.tb is not None:
+            self.tb.close()
+        self.jsonl.close()

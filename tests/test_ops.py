@@ -1,0 +1,161 @@
+"""Golden-parity tests of the conv/signal/stft ops against torch (CPU) and numpy."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from segan_pytorch_tpu.ops import (
+    conv1d,
+    conv_transpose1d,
+    reflect_pad_1d,
+    normalize_wave_minmax,
+    denormalize_wave_minmax,
+    pre_emphasize,
+    de_emphasize,
+    de_emphasize_np,
+    pre_emphasize_np,
+    make_div_n,
+    slice_signal_indices,
+    stft_mag,
+)
+from segan_pytorch_tpu.ops.conv import conv_transpose1d_phased
+
+torch = pytest.importorskip("torch")
+
+
+def _rand(*shape, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randn(*shape).astype(np.float32)
+
+
+class TestConv1d:
+    @pytest.mark.parametrize("stride,L,k,cin,cout", [
+        (4, 256, 31, 1, 8),
+        (4, 1024, 31, 4, 16),
+        (1, 200, 31, 3, 5),
+        (2, 128, 5, 2, 4),
+    ])
+    def test_matches_torch(self, stride, L, k, cin, cout):
+        x = _rand(2, L, cin)
+        w = _rand(k, cin, cout, seed=1)
+        b = _rand(cout, seed=2)
+        y = np.asarray(conv1d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                              stride=stride))
+        xt = torch.from_numpy(x.transpose(0, 2, 1))
+        wt = torch.from_numpy(w.transpose(2, 1, 0).copy())
+        yt = torch.nn.functional.conv1d(xt, wt, torch.from_numpy(b), stride=stride)
+        np.testing.assert_allclose(y, yt.numpy().transpose(0, 2, 1), atol=2e-4)
+
+    def test_strided_reflect_pad_length(self):
+        # GConv1DBlock semantics: stride-4 conv maps L -> L/4 exactly (SURVEY §3.3)
+        x = jnp.zeros((1, 16384, 1))
+        xp = reflect_pad_1d(x, 31 // 2 - 1, 31 // 2)
+        w = jnp.zeros((31, 1, 8))
+        y = conv1d(xp, w, stride=4)
+        assert y.shape == (1, 4096, 8)
+
+    def test_dilated(self):
+        x = _rand(1, 100, 2)
+        w = _rand(5, 2, 3, seed=3)
+        y = np.asarray(conv1d(jnp.asarray(x), jnp.asarray(w), dilation=4))
+        xt = torch.from_numpy(x.transpose(0, 2, 1))
+        wt = torch.from_numpy(w.transpose(2, 1, 0).copy())
+        yt = torch.nn.functional.conv1d(xt, wt, dilation=4)
+        np.testing.assert_allclose(y, yt.numpy().transpose(0, 2, 1), atol=2e-4)
+
+
+class TestConvTranspose1d:
+    @pytest.mark.parametrize("stride,L,k,pad,cin,cout", [
+        (4, 16, 31, 13, 8, 4),   # the SEGAN decoder config: pad = max(0,(4-31)//-2)=13
+        (4, 64, 31, 13, 4, 2),
+        (2, 32, 4, 1, 3, 5),
+        (1, 20, 5, 2, 2, 2),
+    ])
+    def test_matches_torch(self, stride, L, k, pad, cin, cout):
+        x = _rand(2, L, cin)
+        w = _rand(k, cin, cout, seed=1)
+        b = _rand(cout, seed=2)
+        y = np.asarray(conv_transpose1d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                                        stride=stride, padding=pad))
+        xt = torch.from_numpy(x.transpose(0, 2, 1))
+        # torch ConvTranspose1d weight layout (Cin, Cout, K)
+        wt = torch.from_numpy(w.transpose(1, 2, 0).copy())
+        yt = torch.nn.functional.conv_transpose1d(
+            xt, wt, torch.from_numpy(b), stride=stride, padding=pad)
+        np.testing.assert_allclose(y, yt.numpy().transpose(0, 2, 1), atol=2e-4)
+        # deconv maps L -> stride*L + (k - 2p - stride); SEGAN trims 1 when k odd -> 4L
+        if k == 31 and stride == 4 and pad == 13:
+            assert y.shape[1] == 4 * L + 1
+
+    @pytest.mark.parametrize("stride,L,k,pad", [(4, 16, 31, 13), (2, 32, 4, 1),
+                                                (4, 10, 8, 2)])
+    def test_phased_equals_dilated(self, stride, L, k, pad):
+        x = _rand(1, L, 4)
+        w = _rand(k, 4, 3, seed=5)
+        y1 = np.asarray(conv_transpose1d(jnp.asarray(x), jnp.asarray(w),
+                                         stride=stride, padding=pad))
+        y2 = np.asarray(conv_transpose1d_phased(jnp.asarray(x), jnp.asarray(w),
+                                                stride=stride, padding=pad))
+        np.testing.assert_allclose(y1, y2, atol=2e-4)
+
+
+class TestSignal:
+    def test_normalize_int16_endpoints(self):
+        # int16 PCM endpoints: -32768 -> -1, 32767 -> +1, 0 -> ~0 (ref se_dataset.py:108)
+        x = np.array([-32768, 0, 32767], dtype=np.int64)
+        y = np.asarray(normalize_wave_minmax(x))
+        np.testing.assert_allclose(y, [-1.0, 2.0 / 65535.0, 1.0], atol=1e-4)
+        # denormalize formula (ref utils.py:23-24): 65535*x/2 - 1 + 32767
+        np.testing.assert_allclose(
+            np.asarray(denormalize_wave_minmax(np.array([-1.0, 1.0]))),
+            [-1.5, 65533.5], atol=1e-3)
+
+    def test_preemph_deemph_inverse(self):
+        x = _rand(1000)
+        y = pre_emphasize_np(x, 0.95)
+        x2 = de_emphasize_np(y, 0.95)
+        np.testing.assert_allclose(x, x2, atol=1e-4)
+
+    def test_deemph_scan_matches_sequential(self):
+        y = _rand(4, 512)
+        # sequential reference semantics (ref se_dataset.py:119-126)
+        x_ref = np.zeros_like(y)
+        for b in range(y.shape[0]):
+            x_ref[b, 0] = y[b, 0]
+            for n in range(1, y.shape[1]):
+                x_ref[b, n] = 0.95 * x_ref[b, n - 1] + y[b, n]
+        x_jax = np.asarray(de_emphasize(jnp.asarray(y), 0.95))
+        np.testing.assert_allclose(x_jax, x_ref, atol=1e-3)
+        x_np = de_emphasize_np(y, 0.95)
+        np.testing.assert_allclose(x_np, x_ref, atol=1e-4)
+
+    def test_preemph_jax_matches_np(self):
+        x = _rand(3, 777)
+        a = np.asarray(pre_emphasize(jnp.asarray(x)))
+        for i in range(3):
+            np.testing.assert_allclose(a[i], pre_emphasize_np(x[i]), atol=1e-6)
+
+    def test_make_div_n(self):
+        # ref utils.py:26-38 quirk: adds a full extra N when already divisible
+        assert make_div_n(jnp.zeros((100,)), 64).shape == (128,)
+        assert make_div_n(jnp.zeros((128,)), 64).shape == (192,)
+
+    def test_slice_indices(self):
+        # ref se_dataset.py:80: beg in range(0, n - window + 1, offset)
+        idx = slice_signal_indices(40000, 16384, 0.5)
+        assert idx == [(0, 16384), (8192, 24576), (16384, 32768)]
+
+
+class TestSTFT:
+    def test_matches_torch_stft(self):
+        x = _rand(2, 16384)
+        mag = np.asarray(stft_mag(jnp.asarray(x), n_fft=2048, hop_length=160,
+                                  win_length=320, normalized=True))
+        xt = torch.from_numpy(x)
+        st = torch.stft(xt, n_fft=2048, hop_length=160, win_length=320,
+                        window=torch.ones(320), normalized=True, center=True,
+                        return_complex=True)
+        mag_t = st.abs().numpy()
+        assert mag.shape == mag_t.shape
+        np.testing.assert_allclose(mag, mag_t, atol=2e-4)
