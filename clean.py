@@ -1,0 +1,84 @@
+"""Enhancement (inference) CLI — mirrors ref clean.py:28-110: rebuild the model from a
+train.opts JSON, load the generator checkpoint (torch .ckpt or native), and enhance every
+wav in test_files via chunked (SEGAN) or full-pass (WSEGAN) inference."""
+import argparse
+import glob
+import json
+import os
+import random
+import timeit
+
+import numpy as np
+
+
+def main(opts):
+    assert opts.cfg_file is not None
+    assert opts.test_files is not None
+    assert opts.g_pretrained_ckpt is not None
+
+    import jax
+
+    from segan_pytorch_tpu.utils.config import load_train_opts
+    from segan_pytorch_tpu.models import SEGAN, WSEGAN
+    from segan_pytorch_tpu.data.wav_io import read_wav_raw, write_wav
+    from segan_pytorch_tpu.ops.signal import normalize_wave_minmax, pre_emphasize_np
+
+    cfg = load_train_opts(opts.cfg_file)
+    print('Loaded train config: ')
+    print(cfg.to_json())
+    if cfg.wsegan:
+        segan = WSEGAN(cfg)
+    else:
+        segan = SEGAN(cfg)
+    segan.init_state(jax.random.PRNGKey(opts.seed), batch_size=1)
+    segan.g_load_pretrained(opts.g_pretrained_ckpt, True)
+
+    if opts.h5:
+        import h5py
+
+        with h5py.File(opts.test_files[0], 'r') as f:
+            twavs = f['data'][:]
+    else:
+        if len(opts.test_files) == 1:
+            twavs = sorted(glob.glob(os.path.join(opts.test_files[0], '*.wav')))
+        else:
+            twavs = opts.test_files
+    print('Cleaning {} wavs'.format(len(twavs)))
+    beg_t = timeit.default_timer()
+    for t_i, twav in enumerate(twavs, start=1):
+        if not opts.h5:
+            tbname = os.path.basename(twav)
+            rate, wav = read_wav_raw(twav)
+            wav = np.asarray(normalize_wave_minmax(np.asarray(wav)))
+        else:
+            tbname = 'tfile_{}.wav'.format(t_i)
+            wav = np.asarray(twav, np.float32).reshape(-1)
+            twav = tbname
+        wav = pre_emphasize_np(wav, cfg.preemph)
+        g_wav, g_c = segan.generate(wav)
+        out_path = os.path.join(opts.synthesis_path, tbname)
+        if opts.soundfile:
+            write_wav(out_path, g_wav, 16000, subtype='pcm16')
+        else:
+            write_wav(out_path, g_wav, 16000, subtype='float')
+        end_t = timeit.default_timer()
+        print('Cleaned {}/{}: {} in {} s'.format(t_i, len(twavs), twav, end_t - beg_t))
+        beg_t = timeit.default_timer()
+
+
+if __name__ == '__main__':
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--g_pretrained_ckpt', type=str, default=None)
+    parser.add_argument('--test_files', type=str, nargs='+', default=None)
+    parser.add_argument('--h5', action='store_true', default=False)
+    parser.add_argument('--seed', type=int, default=111)
+    parser.add_argument('--synthesis_path', type=str, default='segan_samples')
+    parser.add_argument('--soundfile', action='store_true', default=False,
+                        help='Write PCM16 wavs (like the ref soundfile path, clean.py:76)')
+    parser.add_argument('--cfg_file', type=str, default=None)
+    opts = parser.parse_args()
+
+    os.makedirs(opts.synthesis_path, exist_ok=True)
+    random.seed(opts.seed)
+    np.random.seed(opts.seed)
+    main(opts)

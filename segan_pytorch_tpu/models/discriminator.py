@@ -52,12 +52,9 @@ class Discriminator(nn.Module):
         ninp = self.ninputs
         if self.sinc_conv:
             # sinc front-end on each of the two channels (ref discriminator.py:90-95,152-156)
-            h_l = SincConv(fmaps[0] // 2, 251, 16e3, padding="SAME", name="sinc_conv")(
-                h[..., :1]
-            )
-            h_r = SincConv(fmaps[0] // 2, 251, 16e3, padding="SAME", name="sinc_conv")(
-                h[..., 1:]
-            )
+            sc = SincConv(fmaps[0] // 2, 251, 16e3, padding="SAME", name="sinc_conv")
+            h_l = sc(h[..., :1])
+            h_r = sc(h[..., 1:])
             h = jnp.concatenate([h_l, h_r], axis=-1)
             ninp = fmaps[0]
             fmaps = fmaps[1:]

@@ -1,0 +1,196 @@
+"""Training-engine tests: fused LSGAN step semantics, WSEGAN extras, AEWSEGAN,
+data-parallel mesh equivalence, l1 schedule, masking."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from segan_pytorch_tpu.utils.config import SEGANConfig
+from segan_pytorch_tpu.models import SEGAN, WSEGAN, AEWSEGAN
+from segan_pytorch_tpu.utils.checkpoint import flatten_tree
+
+
+def small_cfg(**kw):
+    base = dict(
+        slice_size=1024,
+        genc_fmaps=[8, 16, 32], genc_poolings=[4, 4, 4], gkwidth=31, z_dim=32,
+        denc_fmaps=[8, 16, 32], denc_poolings=[4, 4, 4], dpool_slen=16,
+        batch_size=4, save_path="/tmp/segan_train_test",
+    )
+    base.update(kw)
+    return SEGANConfig(**base)
+
+
+def synth_batch(B=4, T=1024, seed=0):
+    rng = np.random.RandomState(seed)
+    t = np.arange(T) / 16000.0
+    clean = np.stack([np.sin(2 * np.pi * (200 + 100 * i) * t) * 0.4
+                      for i in range(B)]).astype(np.float32)[..., None]
+    noisy = clean + 0.05 * rng.randn(B, T, 1).astype(np.float32)
+    mask = np.ones((B,), np.float32)
+    return clean, noisy, mask
+
+
+class TestSEGANStep:
+    def test_losses_finite_and_params_update(self):
+        segan = SEGAN(small_cfg())
+        segan.init_state(batch_size=4)
+        segan.prepare_train(4)
+        clean, noisy, mask = synth_batch()
+        g0 = flatten_tree(jax.device_get(segan.state.g_params))
+        d0 = flatten_tree(jax.device_get(segan.state.d_params))
+        bn0 = flatten_tree(jax.device_get(segan.state.d_vars["batch_stats"]))
+        metrics, Genh, z = segan.train_step(clean, noisy, mask,
+                                            jax.random.PRNGKey(0), 100.0)
+        m = {k: float(v) for k, v in metrics.items()}
+        assert all(np.isfinite(v) for v in m.values()), m
+        g1 = flatten_tree(jax.device_get(segan.state.g_params))
+        d1 = flatten_tree(jax.device_get(segan.state.d_params))
+        bn1 = flatten_tree(jax.device_get(segan.state.d_vars["batch_stats"]))
+        assert any(not np.array_equal(g0[k], g1[k]) for k in g0)
+        assert any(not np.array_equal(d0[k], d1[k]) for k in d0)
+        # BatchNorm running stats must have moved (3 D passes per step)
+        assert any(not np.array_equal(bn0[k], bn1[k]) for k in bn0)
+        assert Genh.shape == clean.shape
+        assert int(segan.state.step) == 1
+
+    def test_l1_loss_value_matches_formula(self):
+        """g_l1 must equal l1_weight * mean|Genh - clean| over valid rows."""
+        segan = SEGAN(small_cfg())
+        segan.init_state(batch_size=4)
+        segan.prepare_train(4)
+        clean, noisy, mask = synth_batch()
+        metrics, Genh, _ = segan.train_step(clean, noisy, mask,
+                                            jax.random.PRNGKey(0), 50.0)
+        g_l1 = float(metrics["g_l1"])
+        expect = 50.0 * float(np.mean(np.abs(np.asarray(Genh) - clean)))
+        np.testing.assert_allclose(g_l1, expect, rtol=1e-4)
+
+    def test_mask_excludes_padded_rows(self):
+        """Padding rows with mask=0 must not change losses vs the unpadded batch."""
+        cfg = small_cfg()
+        segan = SEGAN(cfg)
+        segan.init_state(batch_size=4)
+        segan.prepare_train(4)
+        clean, noisy, _ = synth_batch()
+        # batch A: all 4 valid; batch B: rows 2,3 are garbage but masked out
+        m_full, _, _ = segan.train_step(clean[:4], noisy[:4],
+                                        np.array([1, 1, 0, 0], np.float32),
+                                        jax.random.PRNGKey(7), 10.0)
+        # rebuild fresh state (params changed) for comparability of first step
+        segan2 = SEGAN(cfg)
+        segan2.init_state(batch_size=4)
+        segan2.prepare_train(4)
+        garbage = clean.copy()
+        garbage[2:] = 1e3  # masked rows should be ignored in the loss means
+        m_masked, _, _ = segan2.train_step(garbage * 0 + clean, noisy,
+                                           np.array([1, 1, 0, 0], np.float32),
+                                           jax.random.PRNGKey(7), 10.0)
+        # L1 term over first two rows only — same value both times
+        np.testing.assert_allclose(float(m_full["g_l1"]), float(m_masked["g_l1"]),
+                                   rtol=1e-3)
+
+    def test_mse_reg_loss_switch(self):
+        segan = SEGAN(small_cfg(reg_loss="mse_loss"))
+        segan.init_state(batch_size=2)
+        segan.prepare_train(2)
+        clean, noisy, mask = synth_batch(B=2)
+        metrics, Genh, _ = segan.train_step(clean, noisy, mask,
+                                            jax.random.PRNGKey(0), 20.0)
+        expect = 20.0 * float(np.mean((np.asarray(Genh) - clean) ** 2))
+        np.testing.assert_allclose(float(metrics["g_l1"]), expect, rtol=1e-4)
+
+
+class TestWSEGANStep:
+    @pytest.mark.parametrize("flags", [
+        {}, {"misalign_pair": True}, {"interf_pair": True},
+        {"misalign_pair": True, "interf_pair": True, "vanilla_gan": True},
+    ])
+    def test_variants_run(self, flags):
+        cfg = small_cfg(wsegan=True, **flags)
+        ws = WSEGAN(cfg)
+        ws.init_state(batch_size=4)
+        ws.prepare_train(4)
+        clean, noisy, mask = synth_batch()
+        amask = np.array([1, 0, 1, 0], np.float32)
+        metrics, Genh, _ = ws.train_step(clean, noisy, mask, amask,
+                                         jax.random.PRNGKey(0), 100.0)
+        m = {k: float(v) for k, v in metrics.items()}
+        assert all(np.isfinite(v) for v in m.values()), m
+        if flags.get("misalign_pair"):
+            assert "d_fake_shuf" in m
+        if flags.get("interf_pair"):
+            assert "d_fake_inter" in m
+
+    def test_generate_make_div_1024(self):
+        cfg = small_cfg(wsegan=True)
+        ws = WSEGAN(cfg)
+        ws.init_state(batch_size=1)
+        wav = np.random.RandomState(0).randn(3000).astype(np.float32) * 0.1
+        out, hall = ws.generate(wav)
+        assert out.shape == (3000,)
+
+
+class TestAEWSEGAN:
+    def test_step_and_no_discriminator(self):
+        cfg = small_cfg(aewsegan=True)
+        ae = AEWSEGAN(cfg)
+        ae.init_state(batch_size=4)
+        ae.prepare_train(4)
+        assert ae.state.d_params is None
+        clean, noisy, mask = synth_batch()
+        losses = []
+        key = jax.random.PRNGKey(0)
+        for i in range(5):
+            key, k = jax.random.split(key)
+            metrics, Genh, _ = ae.train_step(clean, noisy, mask, k, 100.0)
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0]  # pure regression must descend
+
+
+class TestDataParallel:
+    def test_dp_step_matches_single_device(self):
+        """The same batch through a 8-way sharded mesh must produce the same losses
+        as single-device (pjit semantics are global; BN stats are cross-replica)."""
+        clean, noisy, mask = synth_batch(B=8)
+        cfg1 = small_cfg(batch_size=8, dp=1)
+        s1 = SEGAN(cfg1)
+        s1.init_state(jax.random.PRNGKey(5), batch_size=8)
+        s1.prepare_train(8)
+        m1, _, _ = s1.train_step(clean, noisy, mask, jax.random.PRNGKey(9), 100.0)
+
+        cfg8 = small_cfg(batch_size=8, dp=8)
+        s8 = SEGAN(cfg8)
+        s8.init_state(jax.random.PRNGKey(5), batch_size=8)
+        s8.prepare_train(8)
+        assert s8.mesh is not None
+        m8, _, _ = s8.train_step(clean, noisy, mask, jax.random.PRNGKey(9), 100.0)
+        for k in m1:
+            np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=2e-3,
+                                       err_msg=k)
+
+    def test_dp_second_step_state_stays_sharded(self):
+        cfg8 = small_cfg(batch_size=8, dp=8)
+        s8 = SEGAN(cfg8)
+        s8.init_state(batch_size=8)
+        s8.prepare_train(8)
+        clean, noisy, mask = synth_batch(B=8)
+        for i in range(2):
+            m, _, _ = s8.train_step(clean, noisy, mask, jax.random.PRNGKey(i), 100.0)
+        assert int(s8.state.step) == 2
+
+
+class TestL1Schedule:
+    def test_decay_only_after_epoch(self):
+        """l1 weight decays by l1_dec_step per batch once epoch >= l1_dec_epoch,
+        floored at 0 (ref model.py:272-276)."""
+        l1, dec = 100.0, 30.0
+        hist = []
+        for epoch in range(1, 4):
+            for b in range(2):
+                if epoch >= 2 and l1 > 0:
+                    l1 = max(0.0, l1 - dec)
+                hist.append(l1)
+        assert hist == [100.0, 100.0, 70.0, 40.0, 10.0, 0.0]

@@ -1,0 +1,167 @@
+"""SEGAN-TPU training CLI — full argparse surface of the reference (ref train.py:101-246),
+plus TPU-native flags (--dp, --compute_dtype)."""
+import argparse
+import json
+import os
+import random
+
+import numpy as np
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--save_path', type=str, default="seganv1_ckpt",
+                        help="Path to save models (Def: seganv1_ckpt).")
+    parser.add_argument('--d_pretrained_ckpt', type=str, default=None,
+                        help='Path to ckpt file to pre-load in training (Def: None).')
+    parser.add_argument('--g_pretrained_ckpt', type=str, default=None,
+                        help='Path to ckpt file to pre-load in training (Def: None).')
+    parser.add_argument('--cache_dir', type=str, default='data_cache')
+    parser.add_argument('--clean_trainset', type=str, default='data/clean_trainset')
+    parser.add_argument('--noisy_trainset', type=str, default='data/noisy_trainset')
+    parser.add_argument('--clean_valset', type=str, default=None)
+    parser.add_argument('--noisy_valset', type=str, default=None)
+    parser.add_argument('--h5_data_root', type=str, default=None,
+                        help='H5 data root dir (Def: None).')
+    parser.add_argument('--h5', action='store_true', default=False,
+                        help='Activate H5 dataset mode (Def: False).')
+    parser.add_argument('--data_stride', type=float, default=0.5,
+                        help='Stride in seconds for data read')
+    parser.add_argument('--seed', type=int, default=111)
+    parser.add_argument('--epoch', type=int, default=100)
+    parser.add_argument('--patience', type=int, default=100,
+                        help='Validation epochs to wait before early stop (Def: 100).')
+    parser.add_argument('--batch_size', type=int, default=100)
+    parser.add_argument('--save_freq', type=int, default=50,
+                        help="Batch save freq (Def: 50).")
+    parser.add_argument('--slice_size', type=int, default=16384)
+    parser.add_argument('--opt', type=str, default='rmsprop')
+    parser.add_argument('--l1_dec_epoch', type=int, default=100)
+    parser.add_argument('--l1_weight', type=float, default=100,
+                        help='L1 regularization weight (Def. 100).')
+    parser.add_argument('--l1_dec_step', type=float, default=1e-5,
+                        help='L1 regularization decay factor by batch (Def: 1e-5).')
+    parser.add_argument('--g_lr', type=float, default=0.00005)
+    parser.add_argument('--d_lr', type=float, default=0.00005)
+    parser.add_argument('--preemph', type=float, default=0.95)
+    parser.add_argument('--max_samples', type=int, default=None)
+    parser.add_argument('--eval_workers', type=int, default=2)
+    parser.add_argument('--slice_workers', type=int, default=1)
+    parser.add_argument('--num_workers', type=int, default=1)
+    parser.add_argument('--no-cuda', dest='no_cuda', action='store_true', default=False,
+                        help='Kept for config compat; meaningless on TPU')
+    parser.add_argument('--random_scale', type=float, nargs='+', default=[1])
+    parser.add_argument('--no_train_gen', action='store_true', default=False)
+    parser.add_argument('--preemph_norm', action='store_true', default=False)
+    parser.add_argument('--wsegan', action='store_true', default=False)
+    parser.add_argument('--aewsegan', action='store_true', default=False)
+    parser.add_argument('--vanilla_gan', action='store_true', default=False)
+    parser.add_argument('--no_bias', action='store_true', default=False)
+    parser.add_argument('--n_fft', type=int, default=2048)
+    parser.add_argument('--reg_loss', type=str, default='l1_loss',
+                        help='Regression loss (l1_loss or mse_loss) in G (Def: l1_loss)')
+    # Skip connections
+    parser.add_argument('--skip_merge', type=str, default='concat')
+    parser.add_argument('--skip_type', type=str, default='alpha')
+    parser.add_argument('--skip_init', type=str, default='one')
+    parser.add_argument('--skip_kwidth', type=int, default=11)
+    # Generator
+    parser.add_argument('--gkwidth', type=int, default=31)
+    parser.add_argument('--genc_fmaps', type=int, nargs='+',
+                        default=[64, 128, 256, 512, 1024])
+    parser.add_argument('--genc_poolings', type=int, nargs='+', default=[4, 4, 4, 4, 4])
+    parser.add_argument('--z_dim', type=int, default=1024)
+    parser.add_argument('--gdec_fmaps', type=int, nargs='+', default=None)
+    parser.add_argument('--gdec_poolings', type=int, nargs='+', default=None)
+    parser.add_argument('--gdec_kwidth', type=int, default=None)
+    parser.add_argument('--gnorm_type', type=str, default=None)
+    parser.add_argument('--no_z', action='store_true', default=False)
+    parser.add_argument('--no_skip', action='store_true', default=False)
+    parser.add_argument('--pow_weight', type=float, default=0.001)
+    parser.add_argument('--misalign_pair', action='store_true', default=False)
+    parser.add_argument('--interf_pair', action='store_true', default=False)
+    # Discriminator
+    parser.add_argument('--denc_fmaps', type=int, nargs='+',
+                        default=[64, 128, 256, 512, 1024])
+    parser.add_argument('--dpool_type', type=str, default='none')
+    parser.add_argument('--dpool_slen', type=int, default=16)
+    parser.add_argument('--dkwidth', type=int, default=None)
+    parser.add_argument('--denc_poolings', type=int, nargs='+', default=[4, 4, 4, 4, 4])
+    parser.add_argument('--dnorm_type', type=str, default='bnorm')
+    parser.add_argument('--phase_shift', type=int, default=5)
+    parser.add_argument('--sinc_conv', action='store_true', default=False)
+    # TPU-native extensions
+    parser.add_argument('--dp', type=int, default=1,
+                        help='Data-parallel shards over the device mesh (Def: 1).')
+    parser.add_argument('--compute_dtype', type=str, default='float32',
+                        help='float32 | bfloat16 network compute dtype.')
+    parser.add_argument('--use_pallas', action='store_true', default=False)
+    return parser
+
+
+def main(cfg):
+    import jax
+
+    from segan_pytorch_tpu.data import SEDataset, SEH5Dataset, DataLoader
+    from segan_pytorch_tpu.models import SEGAN, WSEGAN, AEWSEGAN
+
+    random.seed(cfg.seed)
+    np.random.seed(cfg.seed)
+
+    if cfg.wsegan:
+        segan = WSEGAN(cfg)
+    elif cfg.aewsegan:
+        segan = AEWSEGAN(cfg)
+    else:
+        segan = SEGAN(cfg)
+    segan.init_state(jax.random.PRNGKey(cfg.seed), batch_size=cfg.batch_size)
+    print('Total model parameters: ', segan.get_n_params())
+    if cfg.g_pretrained_ckpt is not None:
+        segan.g_load_pretrained(cfg.g_pretrained_ckpt, True)
+    if cfg.d_pretrained_ckpt is not None:
+        segan.d_load_pretrained(cfg.d_pretrained_ckpt, True)
+
+    if cfg.h5:
+        if cfg.h5_data_root is None:
+            raise ValueError('Please specify an H5 data root')
+        dset = SEH5Dataset(cfg.h5_data_root, split='train', preemph=cfg.preemph,
+                           verbose=True, random_scale=cfg.random_scale)
+    else:
+        dset = SEDataset(cfg.clean_trainset, cfg.noisy_trainset, cfg.preemph,
+                         cache_dir=cfg.cache_dir, split='train',
+                         stride=cfg.data_stride, slice_size=cfg.slice_size,
+                         max_samples=cfg.max_samples, verbose=True,
+                         slice_workers=cfg.slice_workers,
+                         preemph_norm=cfg.preemph_norm,
+                         random_scale=cfg.random_scale)
+    dloader = DataLoader(dset, batch_size=cfg.batch_size, shuffle=True,
+                         num_workers=cfg.num_workers, seed=cfg.seed)
+    if cfg.clean_valset is not None:
+        if cfg.h5:
+            va_dset = SEH5Dataset(cfg.h5_data_root, split='valid',
+                                  preemph=cfg.preemph, verbose=True)
+        else:
+            va_dset = SEDataset(cfg.clean_valset, cfg.noisy_valset, cfg.preemph,
+                                cache_dir=cfg.cache_dir, split='valid',
+                                stride=cfg.data_stride, slice_size=cfg.slice_size,
+                                max_samples=cfg.max_samples, verbose=True,
+                                slice_workers=cfg.slice_workers,
+                                preemph_norm=cfg.preemph_norm)
+        va_dloader = DataLoader(va_dset, batch_size=300, shuffle=False,
+                                num_workers=cfg.num_workers, seed=cfg.seed)
+    else:
+        va_dloader = None
+    segan.train(cfg, dloader, None, cfg.l1_weight, cfg.l1_dec_step, cfg.l1_dec_epoch,
+                cfg.save_freq, va_dloader=va_dloader)
+
+
+if __name__ == '__main__':
+    from segan_pytorch_tpu.utils.config import SEGANConfig, dump_train_opts
+
+    opts = build_parser().parse_args()
+    d = vars(opts)
+    cfg = SEGANConfig.from_dict(d)
+    cfg.bias = not cfg.no_bias  # derived flag (ref train.py:248)
+    dump_train_opts(cfg)
+    print('Parsed arguments: ', cfg.to_json())
+    main(cfg)
