@@ -49,7 +49,7 @@ class GSkip(nn.Module):
             if self.skip_type == "constant":
                 # frozen: zero the gradient (ref generator.py:41-42 requires_grad=False)
                 skip_k = jax.lax.stop_gradient(skip_k)
-            sk_h = skip_k * hj  # broadcast over (B, T, C)
+            sk_h = skip_k.astype(hj.dtype) * hj  # broadcast over (B, T, C)
         elif self.skip_type == "conv":
             pad = self.kwidth // 2 if self.kwidth > 1 else 0
             hj_p = conv_ops.zero_pad_1d(hj, pad, pad)  # torch Conv1d zero padding

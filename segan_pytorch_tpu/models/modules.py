@@ -50,15 +50,15 @@ def spectral_normalize(
         v_var.value = _l2normalize(jax.random.normal(kv, (cols,)))
     u, v = u_var.value, v_var.value
     if train and not mdl.is_initializing():
-        m = jax.lax.stop_gradient(matrix)
+        m = jax.lax.stop_gradient(matrix).astype(jnp.float32)  # iterate in fp32
         v = _l2normalize(m.T @ u)
         u = _l2normalize(m @ v)
         u_var.value = u
         v_var.value = v
     u = jax.lax.stop_gradient(u)
     v = jax.lax.stop_gradient(v)
-    sigma = u @ matrix @ v
-    return w / sigma
+    sigma = u @ matrix.astype(jnp.float32) @ v
+    return w / sigma.astype(w.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -78,7 +78,7 @@ class PReLU(nn.Module):
         )
         if self.snorm:
             a = spectral_normalize(self, "weight", a, a[:, None], train)
-        return jnp.maximum(x, 0) + a * jnp.minimum(x, 0)
+        return jnp.maximum(x, 0) + a.astype(x.dtype) * jnp.minimum(x, 0)
 
 
 class BatchNorm1d(nn.Module):
@@ -99,10 +99,11 @@ class BatchNorm1d(nn.Module):
         bias = self.param("bias", init.zeros, (C,))
         r_mean = self.variable("batch_stats", "running_mean", lambda: jnp.zeros((C,)))
         r_var = self.variable("batch_stats", "running_var", lambda: jnp.ones((C,)))
+        xf = x.astype(jnp.float32)  # stats in fp32 even under bf16 compute
         if train:
             red = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x, red)
-            var = jnp.var(x, red)
+            mean = jnp.mean(xf, red)
+            var = jnp.var(xf, red)
             if not self.is_initializing():
                 n = 1
                 for d in red:
@@ -113,8 +114,8 @@ class BatchNorm1d(nn.Module):
                 r_var.value = (1 - m) * r_var.value + m * unbiased
         else:
             mean, var = r_mean.value, r_var.value
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        return y * weight + bias
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * weight + bias).astype(x.dtype)
 
 
 class Conv1d(nn.Module):
@@ -140,7 +141,8 @@ class Conv1d(nn.Module):
         if self.use_bias:
             b_init = self.b_init or init.zeros
             b = self.param("bias", b_init, (self.out_ch,))
-        return conv_ops.conv1d(x, w, b, stride=self.stride, dilation=self.dilation)
+        return conv_ops.conv1d(x, w.astype(x.dtype), b, stride=self.stride,
+                               dilation=self.dilation)
 
 
 class ConvTranspose1d(nn.Module):
@@ -170,7 +172,7 @@ class ConvTranspose1d(nn.Module):
             b_init = self.b_init or init.torch_default_bias(self.out_ch * self.kwidth)
             b = self.param("bias", b_init, (self.out_ch,))
         return conv_ops.conv_transpose1d(
-            x, w, b, stride=self.stride, padding=self.padding
+            x, w.astype(x.dtype), b, stride=self.stride, padding=self.padding
         )
 
 
@@ -187,10 +189,10 @@ class Linear(nn.Module):
         w = self.param("weight", self.w_init, (self.in_features, self.out_features))
         if self.snorm:
             w = spectral_normalize(self, "weight", w, w.T, train)
-        y = x @ w
+        y = jnp.dot(x, w.astype(x.dtype), precision=conv_ops.DEFAULT_PRECISION)
         if self.use_bias:
             b_init = self.b_init or init.torch_default_bias(self.in_features)
-            y = y + self.param("bias", b_init, (self.out_features,))
+            y = y + self.param("bias", b_init, (self.out_features,)).astype(y.dtype)
         return y
 
 

@@ -74,29 +74,53 @@ def build_optimizer(opt: str, lr: float, betas=(0.0, 0.9)) -> optax.GradientTran
     raise ValueError(f"Unrecognized optimizer {opt}")
 
 
+def compute_dtype_of(cfg) -> jnp.dtype:
+    name = getattr(cfg, "compute_dtype", "float32")
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    if name in ("float32", "fp32", "f32"):
+        return jnp.float32
+    raise ValueError(
+        f"Unsupported compute_dtype {name!r}: use 'float32' or 'bfloat16'")
+
+
+def cast_tree(tree, dtype):
+    """Cast float leaves of a pytree to `dtype` (mixed-precision forward path)."""
+    return jax.tree.map(
+        lambda p: p.astype(dtype)
+        if hasattr(p, "dtype") and jnp.issubdtype(p.dtype, jnp.floating)
+        else p,
+        tree,
+    )
+
+
 def masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
-    """Mean over batch entries with mask==1 (equals plain mean on full batches)."""
-    per = x.reshape(x.shape[0], -1).mean(axis=1)
+    """Mean over batch entries with mask==1 (equals plain mean on full batches).
+    Accumulated in fp32 regardless of compute dtype."""
+    per = x.astype(jnp.float32).reshape(x.shape[0], -1).mean(axis=1)
     return jnp.sum(per * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
 def masked_mse(logits: jax.Array, label: float, mask: jax.Array) -> jax.Array:
-    d = (logits.reshape(logits.shape[0], -1) - label) ** 2
+    d = (logits.astype(jnp.float32).reshape(logits.shape[0], -1) - label) ** 2
     return masked_mean(d, mask)
 
 
 def masked_bce_logits(logits: jax.Array, label: float, mask: jax.Array) -> jax.Array:
-    x = logits.reshape(logits.shape[0], -1)
+    x = logits.astype(jnp.float32).reshape(logits.shape[0], -1)
     # binary_cross_entropy_with_logits: max(x,0) - x*y + log(1+exp(-|x|))
     per = jnp.maximum(x, 0) - x * label + jnp.log1p(jnp.exp(-jnp.abs(x)))
     return masked_mean(per, mask)
 
 
 def reg_loss_fn(kind: str):
+    def _f32(a, b):
+        return a.astype(jnp.float32), b.astype(jnp.float32)
+
     if kind == "l1_loss":
-        return lambda a, b, mask: masked_mean(jnp.abs(a - b), mask)
+        return lambda a, b, mask: masked_mean(jnp.abs(jnp.subtract(*_f32(a, b))), mask)
     if kind == "mse_loss":
-        return lambda a, b, mask: masked_mean((a - b) ** 2, mask)
+        return lambda a, b, mask: masked_mean(jnp.subtract(*_f32(a, b)) ** 2, mask)
     raise ValueError(f"Unrecognized reg loss {kind}")
 
 
@@ -104,17 +128,21 @@ def reg_loss_fn(kind: str):
 # the fused train step
 # ---------------------------------------------------------------------------
 def make_segan_train_step(gen: Generator, disc: Discriminator, g_tx, d_tx,
-                          reg_loss: str = "l1_loss"):
+                          reg_loss: str = "l1_loss", compute_dtype=jnp.float32):
     reg_fn = reg_loss_fn(reg_loss)
+    cdt = compute_dtype
 
     def step(state: GANTrainState, clean, noisy, mask, rng, l1_weight):
         kz, kd1, kd2, kd3, kdrop = jax.random.split(rng, 5)
+        clean_c = clean.astype(cdt)
+        noisy_c = noisy.astype(cdt)
         z = gen.sample_z(kz, noisy.shape)
+        z = z.astype(cdt) if z is not None else None
 
         def gfwd(gp):
             out, newv = gen.apply(
-                {"params": gp, **state.g_vars},
-                noisy,
+                {"params": cast_tree(gp, cdt), **state.g_vars},
+                noisy_c,
                 z=z,
                 train=True,
                 mutable=list(MUTS),
@@ -126,13 +154,14 @@ def make_segan_train_step(gen: Generator, disc: Discriminator, g_tx, d_tx,
 
         # --- D update (ref model.py:292-308) ---
         def d_loss_fn(d_params):
-            dv = {"params": d_params, **state.d_vars}
+            dp_c = cast_tree(d_params, cdt)
+            dv = {"params": dp_c, **state.d_vars}
             (d_real, _), m1 = disc.apply(
-                dv, jnp.concatenate([clean, noisy], -1),
+                dv, jnp.concatenate([clean_c, noisy_c], -1),
                 train=True, mutable=list(MUTS), rngs={"phase": kd1})
-            dv = {"params": d_params, **m1}
+            dv = {"params": dp_c, **m1}
             (d_fake, _), m2 = disc.apply(
-                dv, jnp.concatenate([jax.lax.stop_gradient(Genh), noisy], -1),
+                dv, jnp.concatenate([jax.lax.stop_gradient(Genh), noisy_c], -1),
                 train=True, mutable=list(MUTS), rngs={"phase": kd2})
             d_real_loss = masked_mse(d_real, 1.0, mask)
             d_fake_loss = masked_mse(d_fake, 0.0, mask)
@@ -146,12 +175,12 @@ def make_segan_train_step(gen: Generator, disc: Discriminator, g_tx, d_tx,
 
         # --- G update through the UPDATED D (ref model.py:313-321) ---
         def g_obj(Genh_):
-            dv = {"params": d_params_new, **d_vars_mid}
+            dv = {"params": cast_tree(d_params_new, cdt), **d_vars_mid}
             (d_fake_, _), m3 = disc.apply(
-                dv, jnp.concatenate([Genh_, noisy], -1),
+                dv, jnp.concatenate([Genh_, noisy_c], -1),
                 train=True, mutable=list(MUTS), rngs={"phase": kd3})
             g_adv = masked_mse(d_fake_, 1.0, mask)
-            g_l1 = l1_weight * reg_fn(Genh_, clean, mask)
+            g_l1 = l1_weight * reg_fn(Genh_, clean, mask)  # fp32 target
             return g_adv + g_l1, (m3, g_adv, g_l1)
 
         (g_loss, (d_vars_new, g_adv_loss, g_l1_loss)), dGenh = (
@@ -177,7 +206,7 @@ def make_segan_train_step(gen: Generator, disc: Discriminator, g_tx, d_tx,
             "g_adv": g_adv_loss,
             "g_l1": g_l1_loss,
         }
-        return new_state, metrics, Genh, z
+        return new_state, metrics, Genh.astype(jnp.float32), z
 
     return step
 
@@ -303,10 +332,15 @@ class SEGAN:
     # -- inference ----------------------------------------------------------
     def _gfwd_jit(self):
         if self._jit_gfwd is None:
+            cdt = compute_dtype_of(self.cfg)
+
             def gfwd(g_params, g_vars, x, z):
-                out, hall = self.G.apply({"params": g_params, **g_vars}, x, z=z,
-                                         ret_hid=True, train=False)
-                return out, hall
+                out, hall = self.G.apply(
+                    {"params": cast_tree(g_params, cdt), **g_vars},
+                    x.astype(cdt),
+                    z=z.astype(cdt) if z is not None else None,
+                    ret_hid=True, train=False)
+                return out.astype(jnp.float32), hall
             self._jit_gfwd = jax.jit(gfwd)
         return self._jit_gfwd
 
@@ -378,7 +412,8 @@ class SEGAN:
         if self.state is None:
             self.init_state(batch_size=batch_size or 1)
         g_tx, d_tx = self.build_optimizers()
-        step = make_segan_train_step(self.G, self.D, g_tx, d_tx, self.cfg.reg_loss)
+        step = make_segan_train_step(self.G, self.D, g_tx, d_tx, self.cfg.reg_loss,
+                                     compute_dtype_of(self.cfg))
         self._jit_step = jax.jit(step, donate_argnums=(0,))
         self._setup_parallel()
         return self._jit_step

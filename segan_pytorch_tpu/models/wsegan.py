@@ -28,6 +28,8 @@ from .segan import (
     SEGAN,
     GANTrainState,
     MUTS,
+    cast_tree,
+    compute_dtype_of,
     masked_mean,
     masked_mse,
     masked_bce_logits,
@@ -61,13 +63,18 @@ def make_wsegan_train_step(gen, disc, g_tx, d_tx, cfg: SEGANConfig):
     interf = cfg.interf_pair
     pow_weight = cfg.pow_weight
     n_fft = cfg.n_fft
+    cdt = compute_dtype_of(cfg)
 
     def step(state: GANTrainState, clean, noisy, mask, additive_mask, rng, l1_weight):
         kz, kd1, kd2, kd3, kd4, kd5, kshuf, kinterf, kdrop = jax.random.split(rng, 9)
+        clean_c = clean.astype(cdt)
+        noisy_c = noisy.astype(cdt)
         z = gen.sample_z(kz, noisy.shape)
+        z = z.astype(cdt) if z is not None else None
 
         def gfwd(gp):
-            out, newv = gen.apply({"params": gp, **state.g_vars}, noisy, z=z,
+            out, newv = gen.apply({"params": cast_tree(gp, cdt), **state.g_vars},
+                                  noisy_c, z=z,
                                   train=True, mutable=list(MUTS),
                                   rngs={"dropout": kdrop})
             return out, newv
@@ -77,30 +84,32 @@ def make_wsegan_train_step(gen, disc, g_tx, d_tx, cfg: SEGANConfig):
         def d_loss_fn(d_params):
             dvars = state.d_vars
             losses = {}
+            dp_c = cast_tree(d_params, cdt)
 
             def d_pass(x_, ref, key, dv):
-                (y, _), m = disc.apply({"params": d_params, **dv},
+                (y, _), m = disc.apply({"params": dp_c, **dv},
                                        jnp.concatenate([x_, ref], -1),
                                        train=True, mutable=list(MUTS),
                                        rngs={"phase": key})
                 return y, m
 
-            d_real, dvars = d_pass(clean, noisy, kd1, dvars)
+            d_real, dvars = d_pass(clean_c, noisy_c, kd1, dvars)
             losses["d_real"] = cost(d_real, 1.0, mask)
-            d_fake, dvars = d_pass(jax.lax.stop_gradient(Genh), noisy, kd2, dvars)
+            d_fake, dvars = d_pass(jax.lax.stop_gradient(Genh), noisy_c, kd2, dvars)
             losses["d_fake"] = cost(d_fake, 0.0, mask)
             d_weight = 0.5
             d_loss = losses["d_real"] + losses["d_fake"]
             if misalign:
                 perm = jax.random.permutation(kshuf, clean.shape[0])
-                clean_shuf = clean[perm]
-                d_shuf, dvars = d_pass(clean, clean_shuf, kd4, dvars)
+                clean_shuf = clean_c[perm]
+                d_shuf, dvars = d_pass(clean_c, clean_shuf, kd4, dvars)
                 losses["d_fake_shuf"] = cost(d_shuf, 0.0, mask)
                 d_weight = 1.0 / 3
                 d_loss = d_loss + losses["d_fake_shuf"]
             if interf:
                 squares = _square_wave_batch(kinterf, clean.shape[0], clean.shape[1])
-                d_inter, dvars = d_pass(clean + squares, noisy, kd5, dvars)
+                d_inter, dvars = d_pass(clean_c + squares.astype(cdt), noisy_c, kd5,
+                                        dvars)
                 losses["d_fake_inter"] = cost(d_inter, 0.0, mask)
                 d_weight = 1.0 / 4
                 d_loss = d_loss + losses["d_fake_inter"]
@@ -112,20 +121,20 @@ def make_wsegan_train_step(gen, disc, g_tx, d_tx, cfg: SEGANConfig):
         d_updates, d_opt_new = d_tx.update(d_grads, state.d_opt, state.d_params)
         d_params_new = optax.apply_updates(state.d_params, d_updates)
 
-        clean_pow = power_spectrum_db(clean[..., 0], n_fft)
+        clean_pow = power_spectrum_db(clean[..., 0].astype(jnp.float32), n_fft)
 
         def g_obj(Genh_):
             (d_fake_, _), m3 = disc.apply(
-                {"params": d_params_new, **d_vars_mid},
-                jnp.concatenate([Genh_, noisy], -1),
+                {"params": cast_tree(d_params_new, cdt), **d_vars_mid},
+                jnp.concatenate([Genh_, noisy_c], -1),
                 train=True, mutable=list(MUTS), rngs={"phase": kd3})
             g_adv = cost(d_fake_, 1.0, mask)
-            genh_pow = power_spectrum_db(Genh_[..., 0], n_fft)
+            genh_pow = power_spectrum_db(Genh_[..., 0].astype(jnp.float32), n_fft)
             pow_loss = pow_weight * masked_mean(jnp.abs(genh_pow - clean_pow), mask)
             G_cost = g_adv + pow_loss
             amask = additive_mask[:, None, None]
             den_loss = l1_weight * masked_mean(
-                jnp.abs(Genh_ * amask - clean * amask), mask)
+                jnp.abs(Genh_.astype(jnp.float32) * amask - clean * amask), mask)
             den_loss = jnp.where(l1_weight > 0, den_loss, 0.0)
             G_cost = G_cost + den_loss
             return G_cost, (m3, g_adv, pow_loss, den_loss)
@@ -143,7 +152,7 @@ def make_wsegan_train_step(gen, disc, g_tx, d_tx, cfg: SEGANConfig):
             step=state.step + 1)
         metrics = {"d_loss": d_loss, "g_loss": g_cost, "g_adv": g_adv,
                    "pow_loss": pow_loss, "den_loss": den_loss, **d_losses}
-        return new_state, metrics, Genh, z
+        return new_state, metrics, Genh.astype(jnp.float32), z
 
     return step
 
@@ -289,19 +298,25 @@ class WSEGAN(SEGAN):
 
 
 def make_ae_train_step(gen, g_tx, cfg: SEGANConfig, use_l1: bool):
+    cdt = compute_dtype_of(cfg)
+
     def step(state: GANTrainState, clean, noisy, mask, rng, l1_weight):
         kz, kdrop = jax.random.split(rng)
+        noisy_c = noisy.astype(cdt)
         z = gen.sample_z(kz, noisy.shape)
+        z = z.astype(cdt) if z is not None else None
 
         def loss_fn(gp):
-            Genh, newv = gen.apply({"params": gp, **state.g_vars}, noisy, z=z,
+            Genh, newv = gen.apply({"params": cast_tree(gp, cdt), **state.g_vars},
+                                   noisy_c, z=z,
                                    train=True, mutable=list(MUTS),
                                    rngs={"dropout": kdrop})
+            Genh32 = Genh.astype(jnp.float32)
             if use_l1:
-                loss = masked_mean(jnp.abs(Genh - clean), mask)
+                loss = masked_mean(jnp.abs(Genh32 - clean), mask)
             else:
-                loss = masked_mean((Genh - clean) ** 2, mask)
-            return loss, (newv, Genh)
+                loss = masked_mean((Genh32 - clean) ** 2, mask)
+            return loss, (newv, Genh32)
 
         (loss, (g_vars_new, Genh)), g_grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.g_params)

@@ -47,12 +47,16 @@ def conv1d(
     stride: int = 1,
     dilation: int = 1,
     precision=DEFAULT_PRECISION,
-    accum_dtype=jnp.float32,
 ) -> jax.Array:
     """VALID 1-D convolution. x: (B, T, Cin); kernel: (K, Cin, Cout) -> (B, T', Cout).
 
     Numerically equivalent to torch.nn.functional.conv1d with weight (Cout, Cin, K)
     transposed to (K, Cin, Cout) and no padding.
+
+    Output dtype = input dtype. For bf16 inputs the TPU MXU accumulates in fp32
+    internally; we deliberately do NOT force preferred_element_type=f32 here because an
+    f32-output conv gets an f32 cotangent whose transpose-conv against the bf16 operands
+    fails type checking in jax's conv transpose rule.
     """
     dn = lax.conv_dimension_numbers(x.shape, kernel.shape, ("NWC", "WIO", "NWC"))
     y = lax.conv_general_dilated(
@@ -63,11 +67,10 @@ def conv1d(
         rhs_dilation=(dilation,),
         dimension_numbers=dn,
         precision=precision,
-        preferred_element_type=accum_dtype,
     )
     if bias is not None:
-        y = y + bias
-    return y.astype(x.dtype) if y.dtype != x.dtype and x.dtype == jnp.bfloat16 else y
+        y = y + bias.astype(y.dtype)
+    return y
 
 
 def conv_transpose1d(
@@ -77,7 +80,6 @@ def conv_transpose1d(
     stride: int = 4,
     padding: int = 0,
     precision=DEFAULT_PRECISION,
-    accum_dtype=jnp.float32,
 ) -> jax.Array:
     """torch.nn.ConvTranspose1d semantics on (B, T, Cin) input.
 
@@ -99,11 +101,10 @@ def conv_transpose1d(
         lhs_dilation=(stride,),
         dimension_numbers=dn,
         precision=precision,
-        preferred_element_type=accum_dtype,
     )
     if bias is not None:
-        y = y + bias
-    return y.astype(x.dtype) if y.dtype != x.dtype and x.dtype == jnp.bfloat16 else y
+        y = y + bias.astype(y.dtype)
+    return y
 
 
 def conv_transpose1d_phased(
@@ -145,7 +146,6 @@ def conv_transpose1d_phased(
             padding=[(Kr - 1, ext)],
             dimension_numbers=dn,
             precision=precision,
-            preferred_element_type=jnp.float32,
         )  # (B, L+ext, Cout) with y_full index m*s + r for m in [0, L+ext)
         outs.append(yr)
     # interleave phases: full[t] for t = m*s + r
