@@ -28,6 +28,9 @@ def main():
 
     import jax
 
+    from segan_pytorch_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from segan_pytorch_tpu.utils.config import SEGANConfig
     from segan_pytorch_tpu.models import SEGAN
 

@@ -18,6 +18,9 @@ def main(opts):
 
     import jax
 
+    from segan_pytorch_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from segan_pytorch_tpu.utils.config import load_train_opts
     from segan_pytorch_tpu.models import SEGAN, WSEGAN
     from segan_pytorch_tpu.data.wav_io import read_wav_raw, write_wav

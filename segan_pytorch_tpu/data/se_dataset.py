@@ -299,3 +299,64 @@ class RandomChunkSEDataset:
 
     def __len__(self):
         return len(self.samples)
+
+
+class RandomChunkSEF0Dataset:
+    """Random-chunk SE dataset pairing clean wavs with F0 (.lf0) targets
+    (ref se_dataset.py:450-525). The aco IO / unvoiced interpolation the reference
+    takes from ahoproc_tools lives in data/aco.py here."""
+
+    def __init__(self, clean_dir: str, noisy_dir: str, preemph: float = 0,
+                 split: str = "train", slice_size: int = 2**14,
+                 max_samples: Optional[int] = None):
+        from .aco import read_aco_file, interpolation
+
+        self._read_aco_file = read_aco_file
+        self._interpolation = interpolation
+        self.preemph = preemph
+        self.slice_size = slice_size
+        self.samples = {}
+        self.clean_names = sorted(glob.glob(os.path.join(clean_dir, "*.wav")))
+        for c_i, cname in enumerate(self.clean_names):
+            bname = os.path.splitext(os.path.basename(cname))[0]
+            self.samples[c_i] = {
+                "clean": cname,
+                "noisy": os.path.join(noisy_dir, bname) + ".lf0",
+            }
+
+    def read_wav_file(self, path: str) -> np.ndarray:
+        from ..ops.signal import abs_normalize_wave_minmax
+
+        rate, wav = read_wav_raw(path)
+        wav = pre_emphasize_np(np.asarray(wav, np.float32), self.preemph)
+        return np.asarray(abs_normalize_wave_minmax(wav), np.float32)
+
+    def __getitem__(self, index: int) -> dict:
+        sample = self.samples[index]
+        bname = os.path.splitext(os.path.basename(sample["clean"]))[0]
+        cwav = self.read_wav_file(sample["clean"])
+        lf0 = self._read_aco_file(sample["noisy"])
+        ilf0, uv = self._interpolation(lf0, -10000000000)
+        ilf0 = np.where(ilf0 < -1000, np.log(60), ilf0)
+        # EOS zero frame (ref se_dataset.py:488-490)
+        ilf0 = np.concatenate((ilf0, np.zeros((1,), np.float32)))
+        uv = np.concatenate((uv, np.zeros((1,), np.float32)))
+        min_L = cwav.shape[0]
+        slice_size = min(self.slice_size, min_L)
+        beg = _random.randint(0, min_L - slice_size)
+        cslice = cwav[beg : beg + self.slice_size]
+        lf0slice = np.zeros(((self.slice_size // 80) + 1,), np.float32)
+        uvslice = np.zeros(((self.slice_size // 80) + 1,), np.float32)
+        ilf0_s = ilf0[beg // 80 : beg // 80 + (self.slice_size // 80) + 1]
+        uv_s = uv[beg // 80 : beg // 80 + (self.slice_size // 80) + 1]
+        lf0slice[: ilf0_s.shape[0]] = ilf0_s
+        uvslice[: uv_s.shape[0]] = uv_s
+        if min_L < self.slice_size:
+            cslice = np.concatenate(
+                (cslice, np.zeros((self.slice_size - cslice.shape[0],), np.float32)))
+        return {"uttname": bname, "clean": cslice.astype(np.float32),
+                "lf0": lf0slice, "uv": uvslice, "slice_idx": 0,
+                "pesq": None, "ssnr": None}
+
+    def __len__(self):
+        return len(self.samples)

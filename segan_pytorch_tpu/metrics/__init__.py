@@ -9,3 +9,4 @@ from .composite import (  # noqa: F401
 )
 from .pesq import PESQ  # noqa: F401
 from .stoi import stoi  # noqa: F401
+from .f0 import F0Evaluator, KLD, compute_MAE, compute_accuracy  # noqa: F401

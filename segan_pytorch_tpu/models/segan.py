@@ -523,14 +523,58 @@ class SEGAN:
             self.save(eoe_g_saver, eoe_d_saver, iteration)
 
     def save(self, g_saver: Saver, d_saver: Saver, step: int, best_val: bool = False):
+        from flax import serialization
+
         g_tree = {"params": jax.device_get(self.state.g_params),
                   **jax.device_get(self.state.g_vars)}
-        g_saver.save("Generator", step, g_tree,
-                     opt_tree=None, best_val=best_val)
+        g_opt = serialization.to_state_dict(jax.device_get(self.state.g_opt))
+        g_saver.save("Generator", step, g_tree, opt_tree=g_opt, best_val=best_val)
         if self.D is not None and self.state.d_params is not None:
             d_tree = {"params": jax.device_get(self.state.d_params),
                       **jax.device_get(self.state.d_vars)}
-            d_saver.save("Discriminator", step, d_tree, best_val=best_val)
+            d_opt = serialization.to_state_dict(jax.device_get(self.state.d_opt))
+            d_saver.save("Discriminator", step, d_tree, opt_tree=d_opt,
+                         best_val=best_val)
+
+    def resume(self, save_path: Optional[str] = None) -> int:
+        """Resume training from the latest EOE checkpoints (params + vars + optimizer
+        state + step). Capability gap closed vs the reference: its Saver.load_weights
+        exists (core.py:97-118) but train.py never calls it (SURVEY §5)."""
+        from flax import serialization
+
+        save_path = save_path or self.save_path
+        g_saver = Saver(save_path, max_ckpts=3, prefix="EOE_G-")
+        loaded = g_saver.load_weights()
+        if loaded is None:
+            print("[!] Nothing to resume from")
+            return 0
+        g_payload, g_meta = loaded
+        g_sd = g_payload["state_dict"]
+        g_vars = {k: v for k, v in g_sd.items() if k != "params"}
+        step = int(g_meta["step"]) if g_meta else 0
+        new = {"g_params": g_sd["params"], "g_vars": g_vars,
+               "step": jnp.asarray(step, jnp.int32)}
+        if "optimizer" in g_payload:
+            from ..utils.checkpoint import restore_opt_state
+
+            new["g_opt"] = restore_opt_state(self.state.g_opt,
+                                             g_payload["optimizer"])
+        if self.D is not None:
+            d_saver = Saver(save_path, max_ckpts=3, prefix="EOE_D-")
+            d_loaded = d_saver.load_weights()
+            if d_loaded is not None:
+                d_payload, _ = d_loaded
+                d_sd = d_payload["state_dict"]
+                new["d_params"] = d_sd["params"]
+                new["d_vars"] = {k: v for k, v in d_sd.items() if k != "params"}
+                if "optimizer" in d_payload:
+                    from ..utils.checkpoint import restore_opt_state
+
+                    new["d_opt"] = restore_opt_state(self.state.d_opt,
+                                                     d_payload["optimizer"])
+        self.state = self.state.replace(**new)
+        print(f"[*] Resumed from step {step}")
+        return step
 
     def gen_train_samples(self, clean_samples, noisy_samples, z_sample,
                           iteration=None):

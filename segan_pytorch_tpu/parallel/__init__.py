@@ -5,3 +5,4 @@ from .sharding import (  # noqa: F401
     batch_sharding,
     replicated_sharding,
 )
+from .inference import enhance_sharded, chunk_grid, overlap_add  # noqa: F401

@@ -124,6 +124,28 @@ class Saver:
         return tree, meta
 
 
+def restore_opt_state(opt_state_template, loaded_dict: dict):
+    """Rehydrate an optax state from a (possibly leaf-sparse) loaded dict.
+
+    Empty pytree nodes (optax EmptyState) carry no leaves so they vanish through the
+    npz flatten/unflatten round trip; overlay the loaded leaves onto the template's full
+    state_dict before flax deserialization.
+    """
+    from flax import serialization
+
+    template = serialization.to_state_dict(opt_state_template)
+
+    def overlay(tmpl, loaded):
+        for k, v in loaded.items():
+            if isinstance(v, dict) and isinstance(tmpl.get(k), dict):
+                overlay(tmpl[k], v)
+            else:
+                tmpl[k] = v
+
+    overlay(template, loaded_dict)
+    return serialization.from_state_dict(opt_state_template, template)
+
+
 def filter_merge_state(model_tree: dict, loaded_tree: dict, skip_names=()) -> dict:
     """Partial-load semantics (ref core.py:130-146): keep loaded leaves whose path exists
     in the model with matching shape; skip any path containing a name in skip_names."""

@@ -122,6 +122,8 @@ class SEGANConfig:
     legacy_l1_loss: Optional[bool] = None
     # use fused Pallas kernels where available
     use_pallas: bool = False
+    # resume training from the latest EOE checkpoints in save_path
+    resume: bool = False
 
     def __post_init__(self):
         self.bias = not self.no_bias if "bias" not in self.__dict__ else self.bias

@@ -7,6 +7,9 @@ import time
 sys.path.insert(0, ".")
 
 import jax
+
+from segan_pytorch_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
 import jax.numpy as jnp
 import numpy as np
 

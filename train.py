@@ -96,11 +96,16 @@ def build_parser():
     parser.add_argument('--compute_dtype', type=str, default='float32',
                         help='float32 | bfloat16 network compute dtype.')
     parser.add_argument('--use_pallas', action='store_true', default=False)
+    parser.add_argument('--resume', action='store_true', default=False,
+                        help='Resume from the latest EOE checkpoints in save_path.')
     return parser
 
 
 def main(cfg):
     import jax
+
+    from segan_pytorch_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     from segan_pytorch_tpu.data import SEDataset, SEH5Dataset, DataLoader
     from segan_pytorch_tpu.models import SEGAN, WSEGAN, AEWSEGAN
@@ -116,6 +121,8 @@ def main(cfg):
         segan = SEGAN(cfg)
     segan.init_state(jax.random.PRNGKey(cfg.seed), batch_size=cfg.batch_size)
     print('Total model parameters: ', segan.get_n_params())
+    if cfg.resume:
+        segan.resume(cfg.save_path)
     if cfg.g_pretrained_ckpt is not None:
         segan.g_load_pretrained(cfg.g_pretrained_ckpt, True)
     if cfg.d_pretrained_ckpt is not None:
