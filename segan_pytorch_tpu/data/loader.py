@@ -17,6 +17,37 @@ import numpy as np
 from .se_dataset import collate_batch
 
 
+def device_prefetch(iterator, size: int = 2, sharding=None):
+    """Move batches to device `size` steps ahead of consumption, overlapping the
+    host→device transfer with the running computation (jax transfers are async).
+
+    Array values are device_put (optionally with a sharding); non-array values pass
+    through. Essential here: the dev container's host↔TPU link is a slow tunnel, and
+    even on real hosts serial H2D adds ~10-20% step time at batch 300.
+    """
+    import collections
+
+    import jax
+
+    def to_device(batch):
+        out = {}
+        for k, v in batch.items():
+            if isinstance(v, np.ndarray) and v.dtype != object:
+                out[k] = jax.device_put(v, sharding) if sharding is not None \
+                    else jax.device_put(v)
+            else:
+                out[k] = v
+        return out
+
+    buf = collections.deque()
+    for batch in iterator:
+        buf.append(to_device(batch))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 class DataLoader:
     def __init__(
         self,
@@ -57,8 +88,13 @@ class DataLoader:
             yield b
 
     def _make_batch(self, indices):
-        samples = [self.dataset[i] for i in indices]
-        batch = self.collate_fn(samples)
+        batch = None
+        gather = getattr(self.dataset, "gather_batch", None)
+        if gather is not None and self.collate_fn is collate_batch:
+            batch = gather(indices)
+        if batch is None:
+            samples = [self.dataset[i] for i in indices]
+            batch = self.collate_fn(samples)
         n_valid = len(indices)
         if n_valid < self.batch_size and self.pad_final:
             pad = self.batch_size - n_valid

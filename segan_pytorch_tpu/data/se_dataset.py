@@ -146,6 +146,51 @@ class SEDataset:
         self._wav_cache[path] = wav
         return wav
 
+    # ------------------------------------------------------------------
+    def gather_batch(self, indices) -> Optional[dict]:
+        """Native C++ fast path: decode+normalize+preemph+slice a whole batch in a
+        thread pool (native/segan_io.cpp), bypassing the per-item Python loop.
+        Returns None when unavailable (non-default preemph order, .met sidecars,
+        random scaling, or the library failed to build) — callers fall back."""
+        if self.preemph_norm or self.random_scale != [1]:
+            return None
+        if getattr(self, "_has_met", None) is None:
+            self._has_met = any(
+                glob.glob(os.path.join(os.path.dirname(n), "*.met"))
+                for n in self.noisy_names[:1])
+        if self._has_met:  # .met sidecars need the python metadata path
+            return None
+        if getattr(self, "_native", None) is None:
+            try:
+                from .native import NativeAudioEngine
+
+                self._native = NativeAudioEngine()
+            except Exception:
+                self._native = False
+        if self._native is False:
+            return None
+        c_paths, n_paths, begs_c, ends_c, begs_n, ends_n = [], [], [], [], [], []
+        uttnames, slice_ids = [], []
+        for index in indices:
+            w_i, t_i, cb, ce, nb, ne = self.idx2slice[index]
+            c_paths.append(self.clean_names[w_i])
+            n_paths.append(self.noisy_names[w_i])
+            begs_c.append(cb); ends_c.append(ce)
+            begs_n.append(nb); ends_n.append(ne)
+            uttnames.append(
+                os.path.splitext(os.path.basename(self.noisy_names[w_i]))[0])
+            slice_ids.append(t_i)
+        try:
+            clean = self._native.gather(c_paths, begs_c, ends_c,
+                                        self.slice_size, self.preemph)
+            noisy = self._native.gather(n_paths, begs_n, ends_n,
+                                        self.slice_size, self.preemph)
+        except Exception:
+            self._native = False
+            return None
+        return {"uttname": uttnames, "clean": clean, "noisy": noisy,
+                "slice_idx": np.asarray(slice_ids, np.int32)}
+
     def __getitem__(self, index: int) -> dict:
         w_i, t_i, cb, ce, nb, ne = self.idx2slice[index]
         c_path = self.clean_names[w_i]

@@ -36,6 +36,7 @@ class Discriminator(nn.Module):
     use_bias: bool = True
     phase_shift: Optional[int] = None
     sinc_conv: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -75,6 +76,7 @@ class Discriminator(nn.Module):
                 stride=pool,
                 use_bias=self.use_bias,
                 norm_type=self.norm_type,
+                use_pallas=self.use_pallas,
                 name=f"enc_blocks_{ii}",
             )(h, train=train)
             int_act[f"h_{ii}"] = h
@@ -127,5 +129,6 @@ def build_discriminator(cfg) -> Discriminator:
         norm_type=cfg.dnorm_type,
         phase_shift=cfg.phase_shift,
         sinc_conv=cfg.sinc_conv,
+        use_pallas=getattr(cfg, "use_pallas", False),
         name="D",
     )

@@ -99,6 +99,7 @@ class Generator(nn.Module):
     norm_type: Optional[str] = None
     skip_merge: str = "sum"
     skip_kwidth: int = 11
+    use_pallas: bool = False
 
     def _plan(self):
         """Derive the static architecture plan (mirrors ref generator.py:103-178)."""
@@ -173,6 +174,7 @@ class Generator(nn.Module):
                 stride=pool,
                 use_bias=self.use_bias,
                 norm_type=self.norm_type,
+                use_pallas=self.use_pallas,
                 name=f"enc_blocks_{l_i}",
             )(hi, train=train, ret_linear=True)
             if self.skip and l_i < (n_enc - 1):
@@ -222,6 +224,7 @@ class Generator(nn.Module):
                     stride=1,
                     use_bias=self.use_bias,
                     norm_type=self.norm_type,
+                    use_pallas=self.use_pallas,
                     name=f"dec_blocks_{l_i}",
                 )(hi, train=train)
             enc_layer_idx -= 1
@@ -252,5 +255,6 @@ def build_generator(cfg) -> Generator:
         norm_type=cfg.gnorm_type,
         skip_merge=cfg.skip_merge,
         skip_kwidth=cfg.skip_kwidth,
+        use_pallas=getattr(cfg, "use_pallas", False),
         name="G",
     )

@@ -30,8 +30,21 @@ def _l2normalize(v, eps=1e-12):
     return v / (jnp.linalg.norm(v) + eps)
 
 
+def declare_spectral(mdl: nn.Module, name: str, out_dim: int, cols: int):
+    """Declare the 'spectral' power-iteration state; call from setup() or @compact."""
+    u_var = mdl.variable("spectral", f"{name}_u", lambda: None)
+    v_var = mdl.variable("spectral", f"{name}_v", lambda: None)
+    if mdl.is_initializing() and u_var.value is None:
+        key = mdl.make_rng("params")
+        ku, kv = jax.random.split(key)
+        u_var.value = _l2normalize(jax.random.normal(ku, (out_dim,)))
+        v_var.value = _l2normalize(jax.random.normal(kv, (cols,)))
+    return u_var, v_var
+
+
 def spectral_normalize(
-    mdl: nn.Module, name: str, w: jax.Array, matrix: jax.Array, train: bool
+    mdl: nn.Module, name: str, w: jax.Array, matrix: jax.Array, train: bool,
+    uv=None,
 ) -> jax.Array:
     """One-power-iteration spectral normalization of param `w`.
 
@@ -41,13 +54,10 @@ def spectral_normalize(
     only updated when `train` and the collection is mutable (torch: only in training mode).
     """
     out_dim, cols = matrix.shape
-    u_var = mdl.variable("spectral", f"{name}_u", lambda: None)
-    v_var = mdl.variable("spectral", f"{name}_v", lambda: None)
-    if mdl.is_initializing():
-        key = mdl.make_rng("params")
-        ku, kv = jax.random.split(key)
-        u_var.value = _l2normalize(jax.random.normal(ku, (out_dim,)))
-        v_var.value = _l2normalize(jax.random.normal(kv, (cols,)))
+    if uv is None:
+        u_var, v_var = declare_spectral(mdl, name, out_dim, cols)
+    else:
+        u_var, v_var = uv
     u, v = u_var.value, v_var.value
     if train and not mdl.is_initializing():
         m = jax.lax.stop_gradient(matrix).astype(jnp.float32)  # iterate in fp32
@@ -71,13 +81,21 @@ class PReLU(nn.Module):
     init_val: float = 0.25
     snorm: bool = False  # the reference spectral-norms a PReLU in D's fc head (disc.py:121)
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        a = self.param(
+    def setup(self):
+        self.weight = self.param(
             "weight", init.constant(self.init_val), (self.num_parameters,)
         )
         if self.snorm:
-            a = spectral_normalize(self, "weight", a, a[:, None], train)
+            self._uv = declare_spectral(self, "weight", self.num_parameters, 1)
+
+    def get_slope(self, train: bool = False):
+        a = self.weight
+        if self.snorm:
+            a = spectral_normalize(self, "weight", a, a[:, None], train, uv=self._uv)
+        return a
+
+    def __call__(self, x, train: bool = False):
+        a = self.get_slope(train)
         return jnp.maximum(x, 0) + a.astype(x.dtype) * jnp.minimum(x, 0)
 
 
@@ -131,16 +149,25 @@ class Conv1d(nn.Module):
     w_init: Callable = init.normal_002  # SEGAN weights_init (ref model.py:35-37)
     b_init: Optional[Callable] = None  # None -> zeros (ref model.py:38-40)
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        w = self.param("weight", self.w_init, (self.kwidth, self.in_ch, self.out_ch))
-        if self.snorm:
-            mat = w.reshape(-1, self.out_ch).T
-            w = spectral_normalize(self, "weight", w, mat, train)
-        b = None
+    def setup(self):
+        self.weight = self.param(
+            "weight", self.w_init, (self.kwidth, self.in_ch, self.out_ch))
         if self.use_bias:
             b_init = self.b_init or init.zeros
-            b = self.param("bias", b_init, (self.out_ch,))
+            self.bias = self.param("bias", b_init, (self.out_ch,))
+        if self.snorm:
+            self._uv = declare_spectral(self, "weight", self.out_ch,
+                                        self.kwidth * self.in_ch)
+
+    def get_params(self, train: bool = False):
+        w = self.weight
+        if self.snorm:
+            mat = w.reshape(-1, self.out_ch).T
+            w = spectral_normalize(self, "weight", w, mat, train, uv=self._uv)
+        return w, (self.bias if self.use_bias else None)
+
+    def __call__(self, x, train: bool = False):
+        w, b = self.get_params(train)
         return conv_ops.conv1d(x, w.astype(x.dtype), b, stride=self.stride,
                                dilation=self.dilation)
 
@@ -234,6 +261,7 @@ class GConv1DBlock(nn.Module):
     use_bias: bool = True
     norm_type: Optional[str] = None
     w_init: Callable = init.normal_002
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, ret_linear: bool = False):
@@ -243,7 +271,7 @@ class GConv1DBlock(nn.Module):
         else:
             P = (kw // 2, kw // 2)
         x_p = conv_ops.reflect_pad_1d(x, *P)
-        a = Conv1d(
+        conv = Conv1d(
             self.ninp,
             self.fmaps,
             kw,
@@ -252,11 +280,30 @@ class GConv1DBlock(nn.Module):
             snorm=(self.norm_type == "snorm"),
             w_init=self.w_init,
             name="conv",
-        )(x_p, train=train)
+        )
+        act = PReLU(self.fmaps, init_val=0.0, name="act")
+        from ..ops.pallas.conv1d import pallas_applicable
+
+        if (self.use_pallas and self.norm_type in (None, "none")
+                and pallas_applicable(x_p.shape[1], kw, self.stride)):
+            # fused pad→conv→bias→PReLU Pallas kernel (norm-free path only: with
+            # bnorm the normalization sits between conv and act, ref modules.py:99-101)
+            from ..ops.pallas import fused_conv1d_prelu
+
+            w, b = conv.get_params(train)
+            slope = act.get_slope(train)
+            h, a = fused_conv1d_prelu(
+                x_p, w.astype(x_p.dtype),
+                (b if b is not None else jnp.zeros((self.fmaps,), x_p.dtype)),
+                slope, self.stride)
+            if ret_linear:
+                return h, a
+            return h
+        a = conv(x_p, train=train)
         norm = build_norm(self.norm_type, self.fmaps, "norm")
         if norm is not None:
             a = norm(a, train=train)
-        h = PReLU(self.fmaps, init_val=0.0, name="act")(a)
+        h = act(a)
         if ret_linear:
             return h, a
         return h

@@ -451,9 +451,17 @@ class SEGAN:
         best_val_obj = 0
         rng = jax.random.PRNGKey(cfg.seed)
 
+        from ..data.loader import device_prefetch
+
+        batch_shard = None
+        if self.mesh is not None:
+            from ..parallel import batch_sharding
+
+            batch_shard = batch_sharding(self.mesh)
         for epoch in range(1, cfg.epoch + 1):
             beg_t = timeit.default_timer()
-            for bidx, batch in enumerate(dloader, start=1):
+            for bidx, batch in enumerate(
+                    device_prefetch(iter(dloader), sharding=batch_shard), start=1):
                 if epoch >= l1_dec_epoch and l1_weight > 0:
                     l1_weight = max(0.0, l1_weight - l1_dec_step)
                 clean = batch["clean"][..., None]  # (B, T, 1)

@@ -220,12 +220,20 @@ class WSEGAN(SEGAN):
         noisy_samples = clean_samples = z_sample = None
         rng = jax.random.PRNGKey(cfg.seed)
 
+        from ..data.loader import device_prefetch
+
+        batch_shard = None
+        if self.mesh is not None:
+            from ..parallel import batch_sharding
+
+            batch_shard = batch_sharding(self.mesh)
+
         def batch_stream():
             while True:
                 for b in dloader:
                     yield b
 
-        stream = batch_stream()
+        stream = device_prefetch(batch_stream(), sharding=batch_shard)
         total_iters = cfg.epoch * num_batches
         beg_t = timeit.default_timer()
         for iteration in range(1, total_iters + 1):
@@ -401,12 +409,14 @@ class AEWSEGAN(WSEGAN):
         noisy_samples = clean_samples = z_sample = None
         rng = jax.random.PRNGKey(cfg.seed)
 
+        from ..data.loader import device_prefetch
+
         def batch_stream():
             while True:
                 for b in dloader:
                     yield b
 
-        stream = batch_stream()
+        stream = device_prefetch(batch_stream())
         total_iters = cfg.epoch * num_batches
         beg_t = timeit.default_timer()
         for iteration in range(1, total_iters + 1):

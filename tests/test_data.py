@@ -249,3 +249,25 @@ class TestResume:
         s2.prepare_train(2)
         m, _, _ = s2.train_step(clean, noisy, mask, jax.random.PRNGKey(9), 100.0)
         assert int(s2.state.step) == 4
+
+
+class TestNativeLoader:
+    def test_native_batch_matches_python(self, wav_dirs, tmp_path):
+        from segan_pytorch_tpu.data import SEDataset, DataLoader
+        from segan_pytorch_tpu.data import native as native_mod
+
+        clean_d, noisy_d, _ = wav_dirs
+        ds = SEDataset(clean_d, noisy_d, 0.95, cache_dir=str(tmp_path / "nat"),
+                       slice_size=16384, stride=0.5)
+        if not native_mod.available():
+            pytest.skip("native lib unavailable")
+        dl = DataLoader(ds, batch_size=4, shuffle=False, num_workers=1)
+        b_native = next(iter(dl))
+        assert ds._native not in (None, False)  # fast path actually taken
+        ds._native = False  # force python path
+        dl2 = DataLoader(ds, batch_size=4, shuffle=False, num_workers=1)
+        b_py = next(iter(dl2))
+        np.testing.assert_allclose(b_native["clean"], b_py["clean"], atol=2e-7)
+        np.testing.assert_allclose(b_native["noisy"], b_py["noisy"], atol=2e-7)
+        assert b_native["uttname"] == b_py["uttname"]
+        np.testing.assert_array_equal(b_native["slice_idx"], b_py["slice_idx"])
