@@ -266,7 +266,8 @@ def load_torch_discriminator(ckpt_file: str, pool_slen: int, last_fmaps: int) ->
                 elif leaf in ("running_mean", "running_var"):
                     put(batch_stats, [blk, "norm", leaf], v)
                 # num_batches_tracked dropped
-        elif parts[0] == "fc":
+        elif parts[0] == "fc" and len(parts) == 3:
+            # Sequential head (pool_type='none'): fc.{0,2,4} Linear, fc.{1,3} PReLU
             idx = int(parts[1])
             leaf = parts[2]
             name = f"fc_{idx}"
@@ -279,6 +280,22 @@ def load_torch_discriminator(ckpt_file: str, pool_slen: int, last_fmaps: int) ->
                     w = w.reshape(w.shape[0], last_fmaps, pool_slen)
                     w = np.transpose(w, (0, 2, 1)).reshape(w.shape[0], -1)
                 put(params, [name, "weight"], w.T)
+            else:
+                put(params, [name, "bias"], v)
+        elif parts[0] == "fc" and len(parts) == 2:
+            # single Linear head (pool_type conv/gmax/gavg, ref disc.py:124,130,135)
+            if parts[1] == "weight":
+                put(params, ["fc", "weight"], np.asarray(v).T)
+            else:
+                put(params, ["fc", "bias"], v)
+        elif parts[0] == "mlp":
+            # Conv1d -> PReLU -> Conv1d (ref disc.py:139-143)
+            idx, leaf = int(parts[1]), parts[2]
+            name = f"mlp_{idx}"
+            if idx == 1:  # PReLU
+                put(params, [name, "weight"], v)
+            elif leaf == "weight":
+                put(params, [name, "weight"], np.transpose(v, (2, 1, 0)))
             else:
                 put(params, [name, "bias"], v)
         elif parts[0] in ("pool_conv",):

@@ -1,0 +1,257 @@
+"""End-to-end network parity vs the ACTUAL reference implementation.
+
+Loads the reference's torch Generator/Discriminator straight from /root/reference (with
+stubs for its unavailable third-party deps), transfers the torch-initialized weights into
+our flax models through the public checkpoint converter, and compares forward outputs on
+identical inputs — the strongest possible guard against subtle semantic drift (padding,
+skip order, z-concat order, flatten order, BN momentum...).
+"""
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    for name in ("numba", "soundfile", "librosa", "tensorboardX", "torchvision",
+                 "torchvision.utils", "ahoproc_tools", "ahoproc_tools.io",
+                 "ahoproc_tools.interpolate"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            if name == "numba":
+                mod.jit = lambda *a, **k: (lambda f: f)
+                mod.int32 = mod.float32 = None
+            if name == "tensorboardX":
+                mod.SummaryWriter = object
+            sys.modules[name] = mod
+    sys.path.insert(0, "/root/reference/segan/models")
+
+    def load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        m = importlib.util.module_from_spec(spec)
+        sys.modules[name] = m
+        spec.loader.exec_module(m)
+        return m
+
+    gen = load("ref_generator", "/root/reference/segan/models/generator.py")
+    disc = load("ref_discriminator", "/root/reference/segan/models/discriminator.py")
+    return types.SimpleNamespace(gen=gen, disc=disc)
+
+
+def _save_ckpt(module, tmp_path, name):
+    p = str(tmp_path / name)
+    torch.save({"state_dict": module.state_dict()}, p)
+    return p
+
+
+def small_cfg(**kw):
+    from segan_pytorch_tpu.utils.config import SEGANConfig
+
+    base = dict(slice_size=1024,
+                genc_fmaps=[8, 16, 32], genc_poolings=[4, 4, 4], gkwidth=31, z_dim=32,
+                denc_fmaps=[8, 16, 32], denc_poolings=[4, 4, 4], dpool_slen=16,
+                no_bias=False, save_path="/tmp/refpar")
+    base.update(kw)
+    cfg = SEGANConfig(**base)
+    cfg.bias = True
+    return cfg
+
+
+def _load_our_G(cfg, ckpt, x, z):
+    from segan_pytorch_tpu.models.generator import build_generator
+    from segan_pytorch_tpu.utils.checkpoint import load_torch_generator, \
+        filter_merge_state
+
+    G = build_generator(cfg)
+    v = G.init({"params": KEY, "z": KEY}, jnp.asarray(x), train=False)
+    loaded = load_torch_generator(ckpt)
+    merged = filter_merge_state({"params": v["params"]}, loaded)
+    variables = {"params": merged["params"]}
+    if "spectral" in v:
+        spec = filter_merge_state({"spectral": v["spectral"]},
+                                  {"spectral": loaded.get("spectral", {})})
+        variables["spectral"] = spec["spectral"]
+    return G, variables
+
+
+class TestGeneratorParity:
+    @pytest.mark.parametrize("skip_merge,skip_type", [
+        ("concat", "alpha"),
+        ("sum", "alpha"),
+        ("concat", "constant"),
+        ("concat", "conv"),
+    ])
+    def test_forward_matches_reference(self, ref, tmp_path, skip_merge, skip_type):
+        RG = ref.gen.Generator(1, [8, 16, 32], 31, [4, 4, 4], z_dim=32, skip=True,
+                               bias=True, skip_init="one", skip_type=skip_type,
+                               norm_type=None, skip_merge=skip_merge, skip_kwidth=11)
+        RG.eval()
+        ckpt = _save_ckpt(RG, tmp_path, f"g_{skip_merge}_{skip_type}.ckpt")
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 1024, 1).astype(np.float32) * 0.3
+        z = rng.randn(2, 16, 32).astype(np.float32)
+        with torch.no_grad():
+            y_ref = RG(torch.from_numpy(x.transpose(0, 2, 1)),
+                       z=torch.from_numpy(z.transpose(0, 2, 1)))
+        y_ref = y_ref.numpy().transpose(0, 2, 1)
+        cfg = small_cfg(skip_merge=skip_merge, skip_type=skip_type)
+        G, variables = _load_our_G(cfg, ckpt, x, z)
+        y = np.asarray(G.apply(variables, jnp.asarray(x), z=jnp.asarray(z),
+                               train=False))
+        np.testing.assert_allclose(y, y_ref, atol=3e-5)
+
+    def test_no_z_parity(self, ref, tmp_path):
+        RG = ref.gen.Generator(1, [8, 16, 32], 31, [4, 4, 4], no_z=True, skip=True,
+                               bias=True, skip_init="one", skip_type="alpha",
+                               norm_type=None, skip_merge="concat")
+        RG.eval()
+        ckpt = _save_ckpt(RG, tmp_path, "g_noz.ckpt")
+        x = np.random.RandomState(1).randn(1, 1024, 1).astype(np.float32) * 0.3
+        with torch.no_grad():
+            y_ref = RG(torch.from_numpy(x.transpose(0, 2, 1)))
+        cfg = small_cfg(no_z=True)
+        G, variables = _load_our_G(cfg, ckpt, x, None)
+        y = np.asarray(G.apply(variables, jnp.asarray(x), train=False))
+        np.testing.assert_allclose(y, y_ref.numpy().transpose(0, 2, 1), atol=3e-5)
+
+
+class TestDiscriminatorParity:
+    def _transfer(self, RD, cfg, tmp_path, name):
+        from segan_pytorch_tpu.models.discriminator import build_discriminator
+        from segan_pytorch_tpu.utils.checkpoint import load_torch_discriminator, \
+            filter_merge_state
+
+        ckpt = _save_ckpt(RD, tmp_path, name)
+        D = build_discriminator(cfg)
+        v = D.init({"params": KEY, "phase": KEY}, jnp.zeros((1, 1024, 2)),
+                   train=False)
+        loaded = load_torch_discriminator(ckpt, cfg.dpool_slen, cfg.denc_fmaps[-1])
+        model_tree = {"params": v["params"]}
+        if "batch_stats" in v:
+            model_tree["batch_stats"] = v["batch_stats"]
+        merged = filter_merge_state(model_tree, loaded)
+        return D, merged
+
+    def test_bnorm_eval_parity(self, ref, tmp_path):
+        RD = ref.disc.Discriminator(2, [8, 16, 32], 31, [4, 4, 4],
+                                    pool_type="none", pool_slen=16,
+                                    norm_type="bnorm", phase_shift=None)
+        # push the running stats away from the init so eval parity is non-trivial
+        with torch.no_grad():
+            for _ in range(3):
+                RD(torch.randn(4, 2, 1024))
+        RD.eval()
+        cfg = small_cfg()
+        cfg.phase_shift = None
+        D, variables = self._transfer(RD, cfg, tmp_path, "d_bnorm.ckpt")
+        x = np.random.RandomState(2).randn(3, 1024, 2).astype(np.float32) * 0.3
+        with torch.no_grad():
+            y_ref, _ = RD(torch.from_numpy(x.transpose(0, 2, 1)))
+        y, _ = D.apply(variables, jnp.asarray(x), train=False)
+        np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=5e-5)
+
+    @pytest.mark.parametrize("pool_type,pool_slen", [
+        ("conv", 16), ("gmax", 16), ("gavg", 16), ("mlp", 16),
+    ])
+    def test_pool_head_parity(self, ref, tmp_path, pool_type, pool_slen):
+        RD = ref.disc.Discriminator(2, [8, 16, 32], 31, [4, 4, 4],
+                                    pool_type=pool_type, pool_slen=pool_slen,
+                                    norm_type=None, phase_shift=None)
+        RD.eval()
+        cfg = small_cfg(dpool_type=pool_type, dpool_slen=pool_slen,
+                        dnorm_type=None)
+        cfg.phase_shift = None
+        D, variables = self._transfer(RD, cfg, tmp_path, f"d_{pool_type}.ckpt")
+        x = np.random.RandomState(3).randn(2, 1024, 2).astype(np.float32) * 0.3
+        with torch.no_grad():
+            y_ref, _ = RD(torch.from_numpy(x.transpose(0, 2, 1)))
+        y, _ = D.apply(variables, jnp.asarray(x), train=False)
+        yr = y_ref.numpy()
+        yo = np.asarray(y)
+        if pool_type == "mlp":
+            yr = yr.transpose(0, 2, 1)
+        np.testing.assert_allclose(yo, yr, atol=5e-5)
+
+
+class TestLossParity:
+    def test_lsgan_losses_match_reference_composition(self, ref, tmp_path):
+        """One full fused step's loss values vs the reference's 3-phase computation
+        with the same weights, z, and no phase shift (model.py:291-321)."""
+        import torch.nn.functional as F
+
+        RG = ref.gen.Generator(1, [8, 16, 32], 31, [4, 4, 4], z_dim=32, skip=True,
+                               bias=True, skip_init="one", skip_type="alpha",
+                               norm_type=None, skip_merge="concat")
+        RD = ref.disc.Discriminator(2, [8, 16, 32], 31, [4, 4, 4],
+                                    pool_type="none", pool_slen=16,
+                                    norm_type="bnorm", phase_shift=None)
+        RG.train()
+        RD.train()
+        g_ckpt = _save_ckpt(RG, tmp_path, "lg.ckpt")
+        d_ckpt = _save_ckpt(RD, tmp_path, "ld.ckpt")
+        rng = np.random.RandomState(4)
+        clean = (rng.randn(4, 1024, 1) * 0.3).astype(np.float32)
+        noisy = clean + (rng.randn(4, 1024, 1) * 0.05).astype(np.float32)
+        z = rng.randn(4, 16, 32).astype(np.float32)
+
+        # --- reference composition (torch), BN in train mode ---
+        tc = torch.from_numpy(clean.transpose(0, 2, 1))
+        tn = torch.from_numpy(noisy.transpose(0, 2, 1))
+        tz = torch.from_numpy(z.transpose(0, 2, 1))
+        Genh = RG(tn, z=tz)
+        d_real, _ = RD(torch.cat([tc, tn], dim=1))
+        d_real_loss = F.mse_loss(d_real.view(-1), torch.ones(4))
+        d_fake, _ = RD(torch.cat([Genh.detach(), tn], dim=1))
+        d_fake_loss = F.mse_loss(d_fake.view(-1), torch.zeros(4))
+        # (no optimizer step: parity of the loss surfaces, not the update)
+        d_fake_, _ = RD(torch.cat([Genh, tn], dim=1))
+        g_adv_loss = F.mse_loss(d_fake_.view(-1), torch.ones(4))
+        g_l1_loss = 100.0 * F.l1_loss(Genh, tc)
+
+        # --- ours: same weights, same z, D params NOT updated between passes ---
+        from segan_pytorch_tpu.models.segan import masked_mse, reg_loss_fn, MUTS
+        from segan_pytorch_tpu.models.generator import build_generator
+        from segan_pytorch_tpu.models.discriminator import build_discriminator
+        from segan_pytorch_tpu.utils.checkpoint import (
+            load_torch_generator, load_torch_discriminator, filter_merge_state)
+
+        cfg = small_cfg()
+        cfg.phase_shift = None
+        G = build_generator(cfg)
+        D = build_discriminator(cfg)
+        gv = G.init({"params": KEY, "z": KEY}, jnp.asarray(noisy), train=True)
+        dv = D.init({"params": KEY}, jnp.zeros((4, 1024, 2)), train=True)
+        gm = filter_merge_state({"params": gv["params"]},
+                                load_torch_generator(g_ckpt))
+        dm = filter_merge_state(
+            {"params": dv["params"], "batch_stats": dv["batch_stats"]},
+            load_torch_discriminator(d_ckpt, 16, 32))
+        mask = jnp.ones((4,))
+        Genh_j = G.apply({"params": gm["params"]}, jnp.asarray(noisy),
+                         z=jnp.asarray(z), train=True)
+        dvars = {"params": dm["params"], "batch_stats": dm["batch_stats"]}
+        (dr, _), m1 = D.apply(dvars, jnp.concatenate(
+            [jnp.asarray(clean), jnp.asarray(noisy)], -1), train=True,
+            mutable=["batch_stats"])
+        drl = masked_mse(dr, 1.0, mask)
+        (df, _), m2 = D.apply({"params": dm["params"], **m1}, jnp.concatenate(
+            [Genh_j, jnp.asarray(noisy)], -1), train=True, mutable=["batch_stats"])
+        dfl = masked_mse(df, 0.0, mask)
+        (df_, _), _ = D.apply({"params": dm["params"], **m2}, jnp.concatenate(
+            [Genh_j, jnp.asarray(noisy)], -1), train=True, mutable=["batch_stats"])
+        gal = masked_mse(df_, 1.0, mask)
+        gl1 = 100.0 * reg_loss_fn("l1_loss")(Genh_j, jnp.asarray(clean), mask)
+
+        np.testing.assert_allclose(float(drl), float(d_real_loss), rtol=2e-3)
+        np.testing.assert_allclose(float(dfl), float(d_fake_loss), rtol=2e-3)
+        np.testing.assert_allclose(float(gal), float(g_adv_loss), rtol=2e-3)
+        np.testing.assert_allclose(float(gl1), float(g_l1_loss), rtol=2e-4)
