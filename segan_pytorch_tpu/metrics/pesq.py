@@ -64,15 +64,30 @@ def _pesq_python(ref_wav: np.ndarray, deg_wav: np.ndarray, sr: int = 16000) -> O
 
 
 def PESQ(ref_wav: np.ndarray, deg_wav: np.ndarray, sr: int = 16000) -> Optional[float]:
+    """Backend order: ITU `pesqmain` binary (reference parity) → python `pesq` package →
+    P.862-structured approximation (metrics/perceptual.py, enabled via
+    SEGAN_TPU_PESQ=approx or as the last resort for early stopping) → None (-1)."""
     global _WARNED
-    if shutil.which("pesqmain") is not None:
-        v = _pesq_binary(ref_wav, deg_wav, sr)
+    mode = os.environ.get("SEGAN_TPU_PESQ", "auto")
+    if mode != "approx":
+        if shutil.which("pesqmain") is not None:
+            v = _pesq_binary(ref_wav, deg_wav, sr)
+            if v is not None:
+                return v
+        v = _pesq_python(ref_wav, deg_wav, sr)
         if v is not None:
             return v
-    v = _pesq_python(ref_wav, deg_wav, sr)
-    if v is not None:
-        return v
+        if mode == "strict":
+            if not _WARNED:
+                print("pesqmain not found! Please add it to your PATH "
+                      "(PESQ will read as -1)")
+                _WARNED = True
+            return None
+    from .perceptual import pesq_like
+
     if not _WARNED:
-        print("pesqmain not found! Please add it to your PATH (PESQ will read as -1)")
+        print("[PESQ] no certified backend (pesqmain / python-pesq); using the "
+              "P.862-structured approximation — values are comparable across runs "
+              "but NOT interchangeable with certified PESQ")
         _WARNED = True
-    return None
+    return pesq_like(ref_wav, deg_wav, sr)

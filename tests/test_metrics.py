@@ -102,3 +102,67 @@ class TestSTOI:
         s_noisy = stoi(clean, very, 16000)
         assert s_self > 0.99
         assert s_self >= s_slight > s_noisy
+
+
+class TestPesqLike:
+    """The P.862-structured approximation backend (metrics/perceptual.py): the contract
+    is monotonicity with distortion on the MOS scale, not certified-PESQ equality."""
+
+    def _speechlike_broadband(self, n=32000, seed=0):
+        from scipy.signal import butter, lfilter
+
+        rng = np.random.RandomState(seed)
+        t = np.arange(n) / 16000.0
+        f0 = 120 + 30 * np.sin(2 * np.pi * 2.3 * t)
+        voiced = sum((0.4 / k) * np.sin(2 * np.pi * k * np.cumsum(f0) / 16000.0)
+                     for k in range(1, 6))
+        fric = rng.randn(n) * (np.sin(2 * np.pi * 1.7 * t) > 0.6) * 0.15
+        b, a = butter(4, [3000 / 8000, 7000 / 8000], btype="band")
+        fric = lfilter(b, a, fric)
+        return ((voiced * 0.5 * (1 + np.sin(2 * np.pi * 3.1 * t))) + fric
+                ).astype(np.float32)
+
+    def test_monotone_in_snr(self):
+        from segan_pytorch_tpu.metrics.perceptual import pesq_like
+
+        clean = self._speechlike_broadband()
+        rng = np.random.RandomState(1)
+        scores = []
+        for snr_db in [40, 20, 10, 0]:
+            sigma = np.sqrt(np.mean(clean**2) / 10 ** (snr_db / 10))
+            scores.append(pesq_like(clean, clean + sigma * rng.randn(len(clean))))
+        assert scores == sorted(scores, reverse=True), scores
+        assert scores[0] > 4.0       # nearly clean
+        assert scores[-1] < 2.0      # heavily corrupted
+
+    def test_identity_and_gain_invariance(self):
+        from segan_pytorch_tpu.metrics.perceptual import pesq_like
+
+        clean = self._speechlike_broadband(seed=2)
+        assert pesq_like(clean, clean) > 4.5
+        assert pesq_like(clean, 0.5 * clean) > 4.5  # level-aligned
+
+    def test_silence_and_filtering_penalized(self):
+        from scipy.signal import butter, lfilter
+
+        from segan_pytorch_tpu.metrics.perceptual import pesq_like
+
+        clean = self._speechlike_broadband(seed=3)
+        self_score = pesq_like(clean, clean)
+        # omissions are penalized less than additions (P.862 asymmetry principle),
+        # but silence must still lose clearly to the clean signal
+        assert pesq_like(clean, np.zeros_like(clean)) < self_score - 1.5
+        b, a = butter(4, 1000 / 8000)
+        assert pesq_like(clean, lfilter(b, a, clean)) < self_score - 0.3
+
+    def test_backend_chain_reaches_approx(self, monkeypatch):
+        """With no pesqmain/python-pesq, PESQ() falls through to the approximation."""
+        from segan_pytorch_tpu.metrics import pesq as pesq_mod
+
+        monkeypatch.setenv("SEGAN_TPU_PESQ", "auto")
+        clean = self._speechlike_broadband(seed=4)
+        v = pesq_mod.PESQ(clean, clean)
+        assert v is not None and v > 4.0
+        monkeypatch.setenv("SEGAN_TPU_PESQ", "strict")
+        pesq_mod._WARNED = False
+        assert pesq_mod.PESQ(clean, clean) is None  # strict mode: no fake values
