@@ -344,7 +344,12 @@ class SEGAN:
             self._jit_gfwd = jax.jit(gfwd)
         return self._jit_gfwd
 
-    def infer_G(self, noisy, z=None, ret_hid: bool = False):
+    def infer_G(self, noisy, z=None, ret_hid: bool = False, rng=None):
+        if z is None and not self.G.no_z:
+            # fresh z per call, like the reference's in-forward randn (generator.py:197)
+            if rng is None:
+                rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+            z = self.G.sample_z(rng, noisy.shape)
         out, hall = self._gfwd_jit()(self.state.g_params, self.state.g_vars, noisy, z)
         if ret_hid:
             return out, hall

@@ -194,3 +194,49 @@ class TestL1Schedule:
                     l1 = max(0.0, l1 - dec)
                 hist.append(l1)
         assert hist == [100.0, 100.0, 70.0, 40.0, 10.0, 0.0]
+
+
+class TestEvaluate:
+    def test_evaluate_composite_path(self, tmp_path, monkeypatch):
+        """SEGAN.evaluate: inference -> de-emphasis -> pooled composite metrics
+        (ref model.py:440-507), with PESQ pinned for speed."""
+        from segan_pytorch_tpu.metrics import composite as comp
+        from segan_pytorch_tpu.data import DataLoader
+
+        monkeypatch.setattr(comp, "PESQ", lambda a, b: 2.0)
+        cfg = small_cfg(save_path=str(tmp_path), eval_workers=1)
+        segan = SEGAN(cfg)
+        segan.init_state(batch_size=4)
+        clean, noisy, _ = synth_batch()
+        # pure sines make the LPC in LLR degenerate (zero prediction error — same in
+        # the reference); add a noise floor so the metrics are well-defined
+        rng = np.random.RandomState(3)
+        clean = clean + 0.01 * rng.randn(*clean.shape).astype(np.float32)
+
+        class DS:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                return {"uttname": f"u{i}", "clean": clean[i, :, 0],
+                        "noisy": noisy[i, :, 0], "slice_idx": 0,
+                        "pesq": None, "ssnr": None}
+
+        dl = DataLoader(DS(), batch_size=4, shuffle=False, num_workers=1)
+        segan.pool = None
+
+        # eval_workers=1 -> run in-process for determinism under pytest
+        import multiprocessing as mp
+
+        class FakePool:
+            def map(self, f, args):
+                return [f(a) for a in args]
+
+        monkeypatch.setattr(mp, "Pool", lambda n: FakePool())
+        evals, noisy_evals = segan.evaluate(cfg, dl, log_freq=1, do_noisy=True)
+        for k in ("pesq", "ssnr", "csig", "cbak", "covl"):
+            assert len(evals[k]) == 4
+            assert len(noisy_evals[k]) == 4
+            assert all(np.isfinite(v) for v in evals[k])
+        # identical clean/noisy pairs would score better than enhanced-by-random-G
+        assert np.mean(noisy_evals["ssnr"]) > np.mean(evals["ssnr"])
