@@ -124,6 +124,10 @@ class SEGANConfig:
     use_pallas: bool = False
     # resume training from the latest EOE checkpoints in save_path
     resume: bool = False
+    # multi-host bring-up (jax.distributed.initialize); None = single process
+    coordinator: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
 
     def __post_init__(self):
         self.bias = not self.no_bias if "bias" not in self.__dict__ else self.bias

@@ -255,3 +255,99 @@ class TestLossParity:
         np.testing.assert_allclose(float(dfl), float(d_fake_loss), rtol=2e-3)
         np.testing.assert_allclose(float(gal), float(g_adv_loss), rtol=2e-3)
         np.testing.assert_allclose(float(gl1), float(g_l1_loss), rtol=2e-4)
+
+
+class TestWSEGANLossParity:
+    def test_wsegan_losses_match_reference_composition(self, ref, tmp_path):
+        """WSEGAN loss surfaces vs the reference's computation (model.py:572-668):
+        MSE cost on full-size labels, STFT power loss (10log10|stft|^2, n_fft=min(T,2048),
+        hop 160, win 320, normalized), additive-masked L1."""
+        import torch.nn.functional as F
+
+        RG = ref.gen.Generator(1, [8, 16, 32], 31, [4, 4, 4], z_dim=32, skip=True,
+                               bias=True, skip_init="one", skip_type="alpha",
+                               norm_type=None, skip_merge="concat")
+        RD = ref.disc.Discriminator(2, [8, 16, 32], 31, [4, 4, 4],
+                                    pool_type="none", pool_slen=16,
+                                    norm_type=None, phase_shift=None)
+        RG.train(); RD.train()
+        g_ckpt = _save_ckpt(RG, tmp_path, "wg.ckpt")
+        d_ckpt = _save_ckpt(RD, tmp_path, "wd.ckpt")
+        rng = np.random.RandomState(5)
+        clean = (rng.randn(4, 1024, 1) * 0.3).astype(np.float32)
+        noisy = clean + (rng.randn(4, 1024, 1) * 0.05).astype(np.float32)
+        z = rng.randn(4, 16, 32).astype(np.float32)
+        amask_np = np.array([1, 0, 1, 0], np.float32)
+
+        tc = torch.from_numpy(clean.transpose(0, 2, 1))
+        tn = torch.from_numpy(noisy.transpose(0, 2, 1))
+        tz = torch.from_numpy(z.transpose(0, 2, 1))
+        Genh = RG(tn, z=tz)
+        d_real, _ = RD(torch.cat([tc, tn], 1))
+        d_real_loss = F.mse_loss(d_real, torch.ones(d_real.size()))
+        d_fake, _ = RD(torch.cat([Genh.detach(), tn], 1))
+        d_fake_loss = F.mse_loss(d_fake, torch.zeros(d_fake.size()))
+        d_loss_ref = 0.5 * (d_real_loss + d_fake_loss)
+        d_fake_, _ = RD(torch.cat([Genh, tn], 1))
+        g_adv_ref = F.mse_loss(d_fake_, torch.ones(d_fake_.size()))
+        n_fft = min(clean.shape[1], 2048)
+        cs = torch.stft(tc.squeeze(1), n_fft=n_fft, hop_length=160, win_length=320,
+                        window=torch.ones(320), normalized=True,
+                        return_complex=True)
+        gs = torch.stft(Genh.squeeze(1), n_fft=n_fft, hop_length=160,
+                        win_length=320, window=torch.ones(320), normalized=True,
+                        return_complex=True)
+        cpow = 10 * torch.log10(cs.abs() ** 2 + 10e-20)
+        gpow = 10 * torch.log10(gs.abs() ** 2 + 10e-20)
+        pow_ref = 0.001 * F.l1_loss(gpow, cpow)
+        tmask = torch.from_numpy(amask_np)[:, None, None]
+        den_ref = 100.0 * F.l1_loss(Genh * tmask, tc * tmask)
+
+        # --- ours: same weights/z, NO optimizer updates (loss surface parity) ---
+        from segan_pytorch_tpu.models import WSEGAN
+        from segan_pytorch_tpu.models.wsegan import make_wsegan_train_step
+        from segan_pytorch_tpu.models.segan import build_optimizer, GANTrainState
+        from segan_pytorch_tpu.utils.checkpoint import (
+            load_torch_generator, load_torch_discriminator, filter_merge_state)
+        import optax
+
+        cfg = small_cfg(wsegan=True, dnorm_type=None, n_fft=2048)
+        cfg.phase_shift = None
+        ws = WSEGAN(cfg)
+        ws.init_state(batch_size=4)
+        gm = filter_merge_state({"params": ws.state.g_params},
+                                load_torch_generator(g_ckpt))
+        dm = filter_merge_state({"params": ws.state.d_params},
+                                load_torch_discriminator(d_ckpt, 16, 32))
+        # zero LR so the step's "updated D" equals the original D (matching the
+        # no-step torch composition above)
+        zero_tx = optax.sgd(0.0)
+        step = make_wsegan_train_step(ws.G, ws.D, zero_tx, zero_tx, cfg)
+        state = ws.state.replace(
+            g_params=gm["params"], d_params=dm["params"],
+            g_opt=zero_tx.init(gm["params"]), d_opt=zero_tx.init(dm["params"]))
+
+        # pin z: wrap the generator's sample_z
+        import jax as _jax
+
+        orig_sample = ws.G.sample_z
+        try:
+            ws.G.__class__.sample_z = lambda self, rng, shape: jnp.asarray(z)
+            new_state, metrics, Genh_j, _ = step(
+                state, jnp.asarray(clean), jnp.asarray(noisy), jnp.ones((4,)),
+                jnp.asarray(amask_np), _jax.random.PRNGKey(0), jnp.float32(100.0))
+        finally:
+            ws.G.__class__.sample_z = orig_sample
+
+        np.testing.assert_allclose(float(metrics["d_loss"]), float(d_loss_ref),
+                                   rtol=2e-3)
+        np.testing.assert_allclose(float(metrics["g_adv"]), float(g_adv_ref),
+                                   rtol=2e-3)
+        np.testing.assert_allclose(float(metrics["pow_loss"]), float(pow_ref),
+                                   rtol=2e-3)
+        np.testing.assert_allclose(float(metrics["den_loss"]), float(den_ref),
+                                   rtol=2e-3)
+        # weighted d_loss identity
+        np.testing.assert_allclose(
+            float(metrics["d_loss"]),
+            0.5 * (float(metrics["d_real"]) + float(metrics["d_fake"])), rtol=1e-5)

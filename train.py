@@ -98,6 +98,13 @@ def build_parser():
     parser.add_argument('--use_pallas', action='store_true', default=False)
     parser.add_argument('--resume', action='store_true', default=False,
                         help='Resume from the latest EOE checkpoints in save_path.')
+    # multi-host bring-up (jax.distributed); no-ops for single process
+    parser.add_argument('--coordinator', type=str, default=None,
+                        help='Multi-host coordinator address host:port (Def: None).')
+    parser.add_argument('--num_processes', type=int, default=None,
+                        help='Total number of training processes (Def: None).')
+    parser.add_argument('--process_id', type=int, default=None,
+                        help='This process index in [0, num_processes) (Def: None).')
     return parser
 
 
@@ -112,6 +119,11 @@ def main(cfg):
 
     random.seed(cfg.seed)
     np.random.seed(cfg.seed)
+
+    from segan_pytorch_tpu.parallel import initialize_distributed
+    initialize_distributed(getattr(cfg, 'coordinator', None),
+                           getattr(cfg, 'num_processes', None),
+                           getattr(cfg, 'process_id', None))
 
     if cfg.wsegan:
         segan = WSEGAN(cfg)
