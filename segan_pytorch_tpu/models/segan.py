@@ -533,7 +533,9 @@ class SEGAN:
                         print("STOPPING SEGAN TRAIN: OUT OF PATIENCE.")
                         break
 
-            self.save(eoe_g_saver, eoe_d_saver, iteration)
+            if epoch % max(1, getattr(cfg, "eoe_save_every", 1)) == 0 \
+                    or epoch == cfg.epoch:
+                self.save(eoe_g_saver, eoe_d_saver, iteration)
 
     def save(self, g_saver: Saver, d_saver: Saver, step: int, best_val: bool = False):
         from flax import serialization

@@ -124,6 +124,9 @@ class SEGANConfig:
     use_pallas: bool = False
     # resume training from the latest EOE checkpoints in save_path
     resume: bool = False
+    # save end-of-epoch checkpoints every N epochs (1 = reference parity; raise it
+    # when epochs are tiny or the host link is slow — EOE payloads are ~1 GB)
+    eoe_save_every: int = 1
     # multi-host bring-up (jax.distributed.initialize); None = single process
     coordinator: Optional[str] = None
     num_processes: Optional[int] = None

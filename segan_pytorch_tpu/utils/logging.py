@@ -34,15 +34,27 @@ class TrainLogger:
             self.tb.add_histogram(tag, np.asarray(values), step, bins="sturges")
 
     def weight_norms(self, params: Any, total_name: str, step: int):
-        """Per-layer + total weight norms (ref model.py:372-386)."""
-        import jax
+        """Per-layer + total weight norms (ref model.py:372-386).
 
+        Norms are computed ON DEVICE and only the scalars are fetched — pulling the
+        full parameter trees to the host every log step costs hundreds of MB of
+        transfer (catastrophic over a slow host link)."""
+        import jax
+        import jax.numpy as jnp
+
+        if not hasattr(self, "_norm_fn"):
+            def norm_tree(tree):
+                return jax.tree.map(
+                    lambda p: jnp.linalg.norm(p.astype(jnp.float32)), tree)
+
+            self._norm_fn = jax.jit(norm_tree)
         from .checkpoint import flatten_tree
 
+        norms = jax.device_get(self._norm_fn(params))
         total = 0.0
-        for path, leaf in flatten_tree(jax.device_get(params)).items():
+        for path, wn in flatten_tree(norms).items():
             if path.endswith("weight"):
-                wn = float(np.linalg.norm(np.asarray(leaf)))
+                wn = float(wn)
                 self.scalar(f"{path.replace('/', '.')}_Wnorm", wn, step)
                 total += wn
         self.scalar(f"{total_name}_Wnorm", total, step)

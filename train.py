@@ -99,6 +99,8 @@ def build_parser():
     parser.add_argument('--resume', action='store_true', default=False,
                         help='Resume from the latest EOE checkpoints in save_path.')
     # multi-host bring-up (jax.distributed); no-ops for single process
+    parser.add_argument('--eoe_save_every', type=int, default=1,
+                        help='Save EOE checkpoints every N epochs (Def: 1).')
     parser.add_argument('--coordinator', type=str, default=None,
                         help='Multi-host coordinator address host:port (Def: None).')
     parser.add_argument('--num_processes', type=int, default=None,
