@@ -321,11 +321,15 @@ class SEGAN:
         if which == "G":
             model_tree = {"params": self.state.g_params, **self.state.g_vars}
             merged = filter_merge_state(model_tree, loaded, skip_names=skip)
+            # put back on device: leaving numpy leaves in the state would re-upload
+            # the full parameter tree on EVERY subsequent jitted call
+            merged = jax.device_put(merged)
             g_vars = {k: v for k, v in merged.items() if k != "params"}
             self.state = self.state.replace(g_params=merged["params"], g_vars=g_vars)
         else:
             model_tree = {"params": self.state.d_params, **self.state.d_vars}
             merged = filter_merge_state(model_tree, loaded, skip_names=skip)
+            merged = jax.device_put(merged)
             d_vars = {k: v for k, v in merged.items() if k != "params"}
             self.state = self.state.replace(d_params=merged["params"], d_vars=d_vars)
 
@@ -587,6 +591,7 @@ class SEGAN:
 
                     new["d_opt"] = restore_opt_state(self.state.d_opt,
                                                      d_payload["optimizer"])
+        new = jax.device_put(new)  # npz leaves are host numpy; keep state on device
         self.state = self.state.replace(**new)
         print(f"[*] Resumed from step {step}")
         return step
