@@ -20,8 +20,10 @@ BASELINE_SLICES_PER_SEC_EST = 500.0
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch_size", type=int, default=100)
-    parser.add_argument("--steps", type=int, default=20)
+    # batch 300 = the reference's canonical config (run_segan+_train.sh) and the
+    # measured throughput sweet spot (BENCH.md)
+    parser.add_argument("--batch_size", type=int, default=300)
+    parser.add_argument("--steps", type=int, default=15)
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--compute_dtype", type=str, default="bfloat16")
     parser.add_argument("--use_pallas", action="store_true", default=False)
