@@ -117,39 +117,40 @@ class DataLoader:
                 yield self._make_batch(b)
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        SENTINEL = object()
         lock = threading.Lock()
         it = iter(enumerate(batches))
         results = {}
-        next_emit = [0]
+        next_emit = 0
 
         def worker():
+            # workers collectively produce exactly len(batches) items, then exit;
+            # errors are forwarded so the consumer never blocks forever
             while True:
                 with lock:
                     try:
                         i, b = next(it)
                     except StopIteration:
-                        q.put(SENTINEL)
                         return
-                q.put((i, self._make_batch(b)))
+                try:
+                    q.put((i, self._make_batch(b), None))
+                except Exception as e:  # pragma: no cover - defensive
+                    q.put((i, None, e))
 
-        threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)]
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
         for t in threads:
             t.start()
-        done_workers = 0
         emitted = 0
         total = len(batches)
         # emit in order for determinism
         while emitted < total:
-            item = q.get()
-            if item is SENTINEL:
-                done_workers += 1
-                continue
-            i, batch = item
+            i, batch, err = q.get()
+            if err is not None:
+                raise err
             results[i] = batch
-            while next_emit[0] in results:
-                yield results.pop(next_emit[0])
-                next_emit[0] += 1
+            while next_emit in results:
+                yield results.pop(next_emit)
+                next_emit += 1
                 emitted += 1
         for t in threads:
-            t.join(timeout=0.1)
+            t.join(timeout=1.0)

@@ -255,10 +255,12 @@ class SEH5Dataset:
         self.random_scale = list(random_scale)
 
     def __getitem__(self, index: int) -> dict:
-        c = np.squeeze(np.asarray(self.f["data"][index], np.float32), axis=-1) \
-            if np.asarray(self.f["data"][index]).ndim > 1 else np.asarray(self.f["data"][index], np.float32)
-        n = np.squeeze(np.asarray(self.f["label"][index], np.float32), axis=-1) \
-            if np.asarray(self.f["label"][index]).ndim > 1 else np.asarray(self.f["label"][index], np.float32)
+        c = np.asarray(self.f["data"][index], np.float32)
+        n = np.asarray(self.f["label"][index], np.float32)
+        if c.ndim > 1:
+            c = np.squeeze(c, axis=-1)
+        if n.ndim > 1:
+            n = np.squeeze(n, axis=-1)
         rscale = _random.choice(self.random_scale)
         if rscale != 1:
             c, n = rscale * c, rscale * n

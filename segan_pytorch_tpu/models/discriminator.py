@@ -39,7 +39,7 @@ class Discriminator(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         if self.pool_slen is None:
             raise ValueError(
                 "Please specify D network pool seq len (pool_slen) in the end "
@@ -78,7 +78,7 @@ class Discriminator(nn.Module):
                 norm_type=self.norm_type,
                 use_pallas=self.use_pallas,
                 name=f"enc_blocks_{ii}",
-            )(h, train=train)
+            )(h, train=train, mask=mask)
             int_act[f"h_{ii}"] = h
             ninp = fmap
         snorm = self.norm_type == "snorm"

@@ -111,7 +111,10 @@ class BatchNorm1d(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
+        """mask: optional (B,) validity weights — padded final-batch rows must not
+        contaminate the batch statistics (they carry mask=0 from the loader), so the
+        masked batch matches the reference's smaller final batch exactly."""
         C = self.num_features
         weight = self.param("weight", init.ones, (C,))
         bias = self.param("bias", init.zeros, (C,))
@@ -120,13 +123,20 @@ class BatchNorm1d(nn.Module):
         xf = x.astype(jnp.float32)  # stats in fp32 even under bf16 compute
         if train:
             red = tuple(range(x.ndim - 1))
-            mean = jnp.mean(xf, red)
-            var = jnp.var(xf, red)
-            if not self.is_initializing():
+            if mask is not None:
+                w = mask.astype(jnp.float32).reshape(
+                    (-1,) + (1,) * (x.ndim - 1))
+                n = jnp.maximum(jnp.sum(w) * math.prod(x.shape[1:-1]), 1.0)
+                mean = jnp.sum(xf * w, red) / n
+                var = jnp.sum(((xf - mean) ** 2) * w, red) / n
+            else:
                 n = 1
                 for d in red:
                     n *= x.shape[d]
-                unbiased = var * (n / max(n - 1, 1))
+                mean = jnp.mean(xf, red)
+                var = jnp.var(xf, red)
+            if not self.is_initializing():
+                unbiased = var * (n / jnp.maximum(n - 1, 1))
                 m = self.momentum
                 r_mean.value = (1 - m) * r_mean.value + m * mean
                 r_var.value = (1 - m) * r_var.value + m * unbiased
@@ -229,10 +239,6 @@ class LayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if x.ndim == 3:
-            mean = jnp.mean(x, axis=1, keepdims=True)
-            std = jnp.std(x, axis=1, keepdims=True, ddof=1)
-            return (x - mean) / std
         mean = jnp.mean(x, axis=1, keepdims=True)
         std = jnp.std(x, axis=1, keepdims=True, ddof=1)
         return (x - mean) / std
@@ -264,7 +270,7 @@ class GConv1DBlock(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False, ret_linear: bool = False):
+    def __call__(self, x, train: bool = False, ret_linear: bool = False, mask=None):
         kw = self.kwidth
         if self.stride > 1:
             P = (kw // 2 - 1, kw // 2)
@@ -302,7 +308,10 @@ class GConv1DBlock(nn.Module):
         a = conv(x_p, train=train)
         norm = build_norm(self.norm_type, self.fmaps, "norm")
         if norm is not None:
-            a = norm(a, train=train)
+            if self.norm_type == "bnorm":
+                a = norm(a, train=train, mask=mask)
+            else:
+                a = norm(a, train=train)
         h = act(a)
         if ret_linear:
             return h, a

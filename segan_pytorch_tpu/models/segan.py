@@ -158,11 +158,11 @@ def make_segan_train_step(gen: Generator, disc: Discriminator, g_tx, d_tx,
             dv = {"params": dp_c, **state.d_vars}
             (d_real, _), m1 = disc.apply(
                 dv, jnp.concatenate([clean_c, noisy_c], -1),
-                train=True, mutable=list(MUTS), rngs={"phase": kd1})
+                train=True, mask=mask, mutable=list(MUTS), rngs={"phase": kd1})
             dv = {"params": dp_c, **m1}
             (d_fake, _), m2 = disc.apply(
                 dv, jnp.concatenate([jax.lax.stop_gradient(Genh), noisy_c], -1),
-                train=True, mutable=list(MUTS), rngs={"phase": kd2})
+                train=True, mask=mask, mutable=list(MUTS), rngs={"phase": kd2})
             d_real_loss = masked_mse(d_real, 1.0, mask)
             d_fake_loss = masked_mse(d_fake, 0.0, mask)
             return d_real_loss + d_fake_loss, (m2, d_real_loss, d_fake_loss)
@@ -178,7 +178,7 @@ def make_segan_train_step(gen: Generator, disc: Discriminator, g_tx, d_tx,
             dv = {"params": cast_tree(d_params_new, cdt), **d_vars_mid}
             (d_fake_, _), m3 = disc.apply(
                 dv, jnp.concatenate([Genh_, noisy_c], -1),
-                train=True, mutable=list(MUTS), rngs={"phase": kd3})
+                train=True, mask=mask, mutable=list(MUTS), rngs={"phase": kd3})
             g_adv = masked_mse(d_fake_, 1.0, mask)
             g_l1 = l1_weight * reg_fn(Genh_, clean, mask)  # fp32 target
             return g_adv + g_l1, (m3, g_adv, g_l1)
@@ -397,10 +397,13 @@ class SEGAN:
         g_c = np.asarray(hall[f"enc_{max(int(k.split('_')[1]) for k in enc_keys)}"])
         return c_res, g_c[:n_chunks]
 
-    def discriminate(self, cwav, nwav):
+    def discriminate(self, cwav, nwav, rng=None):
         d_in = jnp.concatenate([cwav, nwav], axis=-1)
+        # the reference rolls the phase shift in eval too (discriminator.py:160-172)
+        if rng is None:
+            rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
         (y, _) = self.D.apply({"params": self.state.d_params, **self.state.d_vars},
-                              d_in, train=False)
+                              d_in, train=False, rngs={"phase": rng})
         return y
 
     # -- training -----------------------------------------------------------
@@ -634,7 +637,7 @@ class SEGAN:
         noisy_evals = {"pesq": [], "ssnr": [], "csig": [], "cbak": [], "covl": []}
         if self.pool is None:
             self.pool = mp.Pool(cfg.eval_workers)
-        map_ret = []
+        all_ret = []
         for bidx, batch in enumerate(dloader, start=1):
             clean = np.asarray(batch["clean"], np.float32)  # (B, T)
             noisy = np.asarray(batch["noisy"], np.float32)
@@ -648,7 +651,7 @@ class SEGAN:
                         for i in range(clean.shape[0])]
             else:
                 args = [(clean_de[i], genh_de[i], None) for i in range(clean.shape[0])]
-            map_ret = self.pool.map(composite_helper, args)
+            all_ret.extend(self.pool.map(composite_helper, args))
             end_t = timeit.default_timer()
             print(f"Time to process eval with {clean.shape[0]} samples"
                   f" : {end_t - beg_t} s")
@@ -660,11 +663,11 @@ class SEGAN:
                 ret_dict[k].append(v)
 
         if do_noisy:
-            for eval_, noisy_eval_ in map_ret:
+            for eval_, noisy_eval_ in all_ret:
                 fill(evals, eval_)
                 fill(noisy_evals, noisy_eval_)
             return evals, noisy_evals
-        for eval_ in map_ret:
+        for eval_ in all_ret:
             fill(evals, eval_)
         return evals
 

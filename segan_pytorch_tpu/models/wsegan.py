@@ -89,7 +89,7 @@ def make_wsegan_train_step(gen, disc, g_tx, d_tx, cfg: SEGANConfig):
             def d_pass(x_, ref, key, dv):
                 (y, _), m = disc.apply({"params": dp_c, **dv},
                                        jnp.concatenate([x_, ref], -1),
-                                       train=True, mutable=list(MUTS),
+                                       train=True, mask=mask, mutable=list(MUTS),
                                        rngs={"phase": key})
                 return y, m
 
@@ -127,7 +127,7 @@ def make_wsegan_train_step(gen, disc, g_tx, d_tx, cfg: SEGANConfig):
             (d_fake_, _), m3 = disc.apply(
                 {"params": cast_tree(d_params_new, cdt), **d_vars_mid},
                 jnp.concatenate([Genh_, noisy_c], -1),
-                train=True, mutable=list(MUTS), rngs={"phase": kd3})
+                train=True, mask=mask, mutable=list(MUTS), rngs={"phase": kd3})
             g_adv = cost(d_fake_, 1.0, mask)
             genh_pow = power_spectrum_db(Genh_[..., 0].astype(jnp.float32), n_fft)
             pow_loss = pow_weight * masked_mean(jnp.abs(genh_pow - clean_pow), mask)
@@ -272,7 +272,10 @@ class WSEGAN(SEGAN):
                     self.gen_train_samples(clean_samples, noisy_samples, z_sample,
                                            iteration=iteration)
             if iteration % num_batches == 0:
-                self.save(eoe_g_saver, eoe_d_saver, iteration)
+                epoch = iteration // num_batches
+                if epoch % max(1, getattr(cfg, "eoe_save_every", 1)) == 0 \
+                        or iteration == total_iters:
+                    self.save(eoe_g_saver, eoe_d_saver, iteration)
 
     def _log_skip_alphas(self, iteration: int):
         """skip-alpha histograms (ref model.py:720-727)."""
@@ -462,9 +465,12 @@ class AEWSEGAN(WSEGAN):
                         best_saver.save("Generator", iteration, g_tree, best_val=True)
                         best_val_obj = sd
             if iteration % num_batches == 0:
-                g_tree = {"params": jax.device_get(self.state.g_params),
-                          **jax.device_get(self.state.g_vars)}
-                eoe_g_saver.save("Generator", iteration, g_tree)
+                epoch = iteration // num_batches
+                if epoch % max(1, getattr(cfg, "eoe_save_every", 1)) == 0 \
+                        or iteration == total_iters:
+                    g_tree = {"params": jax.device_get(self.state.g_params),
+                              **jax.device_get(self.state.g_vars)}
+                    eoe_g_saver.save("Generator", iteration, g_tree)
 
     def evaluate_sd(self, cfg: SEGANConfig, dloader, max_samples: int = 1) -> float:
         """Spectral distortion (dB): mean |log-power(Genh) - log-power(clean)|.

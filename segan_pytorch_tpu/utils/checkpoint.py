@@ -25,7 +25,7 @@ def flatten_tree(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
-            out.update(flatten_tree(v, f"{prefix}{k}/" if prefix or True else k))
+            out.update(flatten_tree(v, f"{prefix}{k}/"))
         return out
     # leaf
     out[prefix[:-1]] = np.asarray(tree)
@@ -190,7 +190,7 @@ def _torch_state_dict(ckpt_file: str) -> Dict[str, np.ndarray]:
 
 
 def load_torch_generator(ckpt_file: str) -> dict:
-    """Convert a torch SEGAN Generator state-dict to our {'params': ...} tree.
+    """Convert a torch SEGAN Generator state-dict to our {'params', 'batch_stats'} tree.
 
     torch layouts: Conv1d weight (Cout, Cin, K) -> ours (K, Cin, Cout);
     ConvTranspose1d weight (Cin, Cout, K) -> ours (K, Cin, Cout);
@@ -198,9 +198,10 @@ def load_torch_generator(ckpt_file: str) -> dict:
     """
     st = _torch_state_dict(ckpt_file)
     params: dict = {}
+    batch_stats: dict = {}
 
-    def put(path, arr):
-        node = params
+    def put(path, arr, root=None):
+        node = params if root is None else root
         for p in path[:-1]:
             node = node.setdefault(p, {})
         node[path[-1]] = np.asarray(arr, np.float32)
@@ -221,7 +222,11 @@ def load_torch_generator(ckpt_file: str) -> dict:
                 put([blk, "act", "weight"], v)
             elif sub == "norm":
                 # BatchNorm weight/bias are params; running stats go to batch_stats
-                put([blk, "norm", leaf], v)
+                if leaf in ("running_mean", "running_var"):
+                    put([blk, "norm", leaf], v, root=batch_stats)
+                elif leaf in ("weight", "bias"):
+                    put([blk, "norm", leaf], v)
+                # num_batches_tracked dropped
         elif parts[0].startswith("alpha_"):
             if len(parts) == 2 and parts[1] == "skip_k":
                 put([parts[0], "skip_k"], np.reshape(v, (-1,)))
@@ -230,7 +235,10 @@ def load_torch_generator(ckpt_file: str) -> dict:
                     put([parts[0], "skip_k", "weight"], np.transpose(v, (2, 1, 0)))
                 else:
                     put([parts[0], "skip_k", "bias"], v)
-    return {"params": params}
+    out = {"params": params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return out
 
 
 def load_torch_discriminator(ckpt_file: str, pool_slen: int, last_fmaps: int) -> dict:

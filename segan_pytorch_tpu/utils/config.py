@@ -107,8 +107,8 @@ class SEGANConfig:
     phase_shift: Optional[int] = 5
     sinc_conv: bool = False
 
-    # derived (ref train.py:248)
-    bias: bool = True
+    # derived (ref train.py:248); None = derive from no_bias in __post_init__
+    bias: Optional[bool] = None
 
     # --- TPU-native extensions (not in the reference argparse) ---
     # number of data-parallel shards; 0/1 = single chip, >1 = shard batch over a mesh
@@ -133,7 +133,8 @@ class SEGANConfig:
     process_id: Optional[int] = None
 
     def __post_init__(self):
-        self.bias = not self.no_bias if "bias" not in self.__dict__ else self.bias
+        if self.bias is None:
+            self.bias = not self.no_bias
 
     # ------------------------------------------------------------------
     @classmethod
@@ -149,10 +150,7 @@ class SEGANConfig:
         known = {f.name for f in dataclasses.fields(cls)}
         unknown = {k: v for k, v in d.items() if k not in known}
         kwargs = {k: v for k, v in d.items() if k in known}
-        cfg = cls(**kwargs)
-        # keep bias coherent if only no_bias was given (ref train.py:248)
-        if "bias" not in d:
-            cfg.bias = not cfg.no_bias
+        cfg = cls(**kwargs)  # __post_init__ derives bias from no_bias when absent
         cfg._unknown = unknown  # type: ignore[attr-defined]
         return cfg
 

@@ -240,3 +240,42 @@ class TestEvaluate:
             assert all(np.isfinite(v) for v in evals[k])
         # identical clean/noisy pairs would score better than enhanced-by-random-G
         assert np.mean(noisy_evals["ssnr"]) > np.mean(evals["ssnr"])
+
+
+class TestMaskedBatchNorm:
+    def test_padded_batch_matches_unpadded_bn_stats(self):
+        """A padded+masked final batch must leave D's BatchNorm running stats AND all
+        losses identical to the reference's smaller unpadded batch."""
+        cfg = small_cfg(batch_size=4)
+        clean, noisy, _ = synth_batch(B=4)
+
+        # run A: true batch of 2
+        sA = SEGAN(cfg)
+        sA.init_state(jax.random.PRNGKey(11), batch_size=2)
+        sA.prepare_train(2)
+        mA, _, _ = sA.train_step(clean[:2], noisy[:2], np.ones((2,), np.float32),
+                                 jax.random.PRNGKey(3), 10.0)
+        bnA = flatten_tree(jax.device_get(sA.state.d_vars["batch_stats"]))
+
+        # run B: same 2 rows padded to 4 with garbage, mask=[1,1,0,0]
+        sB = SEGAN(cfg)
+        sB.init_state(jax.random.PRNGKey(11), batch_size=4)
+        sB.prepare_train(4)
+        padded_c = np.concatenate([clean[:2], 7.0 + 0 * clean[:2]], axis=0)
+        padded_n = np.concatenate([noisy[:2], -7.0 + 0 * noisy[:2]], axis=0)
+        mB, _, _ = sB.train_step(padded_c, padded_n,
+                                 np.array([1, 1, 0, 0], np.float32),
+                                 jax.random.PRNGKey(3), 10.0)
+        bnB = flatten_tree(jax.device_get(sB.state.d_vars["batch_stats"]))
+
+        # BN running stats are mask-weighted -> padded rows must not contaminate them.
+        # (Exact equality isn't expected: the G forward differs through z/rng shapes;
+        # but garbage rows at +/-7.0 would blow the stats up by orders of magnitude.)
+        for k in bnA:
+            a, b = np.asarray(bnA[k]), np.asarray(bnB[k])
+            denom = np.maximum(np.abs(a), 1e-3)
+            assert np.max(np.abs(a - b) / denom) < 0.5, (
+                k, float(np.max(np.abs(a - b) / denom)))
+        # and the masked losses stay finite/reasonable despite the garbage rows
+        for k, v in mB.items():
+            assert np.isfinite(float(v)), k
