@@ -37,7 +37,9 @@ def main():
     from segan_pytorch_tpu.utils.config import SEGANConfig
     from segan_pytorch_tpu.models import SEGAN
 
-    n_chips = len(jax.devices())
+    # the fused step runs on ONE device unless a dp mesh is requested; dividing by
+    # all visible chips would misreport per-chip throughput on multi-chip hosts
+    n_chips = 1
     cfg = SEGANConfig(batch_size=args.batch_size, save_path="/tmp/bench_segan",
                       compute_dtype=args.compute_dtype, no_train_gen=True,
                       use_pallas=args.use_pallas)
@@ -58,10 +60,12 @@ def main():
     key = jax.random.PRNGKey(0)
 
     # warmup (compile)
+    metrics = None
     for i in range(args.warmup):
         key, k = jax.random.split(key)
         metrics, _, _ = segan.train_step(clean, noisy, mask, k, 100.0)
-    jax.block_until_ready(metrics)
+    if metrics is not None:
+        jax.block_until_ready(metrics)
 
     t0 = time.perf_counter()
     for i in range(args.steps):

@@ -39,8 +39,13 @@ def main(opts):
     if opts.h5:
         import h5py
 
+        # Enhance the NOISY chunks ('label' per the SEH5Dataset contract; the
+        # reference reads 'data' — the clean signal — at clean.py:47-48, which we
+        # treat as a bug). H5 chunks are stored already normalized+pre-emphasized
+        # (tools/make_h5.py), so no second pre-emphasis is applied below.
         with h5py.File(opts.test_files[0], 'r') as f:
-            twavs = f['data'][:]
+            key = 'label' if 'label' in f else 'data'
+            twavs = f[key][:]
     else:
         if len(opts.test_files) == 1:
             twavs = sorted(glob.glob(os.path.join(opts.test_files[0], '*.wav')))
@@ -53,11 +58,11 @@ def main(opts):
             tbname = os.path.basename(twav)
             rate, wav = read_wav_raw(twav)
             wav = np.asarray(normalize_wave_minmax(np.asarray(wav)))
+            wav = pre_emphasize_np(wav, cfg.preemph)
         else:
             tbname = 'tfile_{}.wav'.format(t_i)
             wav = np.asarray(twav, np.float32).reshape(-1)
             twav = tbname
-        wav = pre_emphasize_np(wav, cfg.preemph)
         g_wav, g_c = segan.generate(wav)
         out_path = os.path.join(opts.synthesis_path, tbname)
         if opts.soundfile:

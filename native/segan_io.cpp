@@ -39,6 +39,9 @@ bool read_wav_pcm16(const std::string& path, std::vector<int16_t>* out,
                     uint32_t* rate, uint16_t* channels) {
   std::ifstream f(path, std::ios::binary);
   if (!f) return false;
+  f.seekg(0, std::ios::end);
+  const int64_t file_size = static_cast<int64_t>(f.tellg());
+  f.seekg(0, std::ios::beg);
   char riff[4], wave[4];
   uint32_t riff_size;
   f.read(riff, 4);
@@ -55,6 +58,8 @@ bool read_wav_pcm16(const std::string& path, std::vector<int16_t>* out,
     f.read(id, 4);
     f.read(reinterpret_cast<char*>(&size), 4);
     if (!f) break;
+    // corrupt headers must fail cleanly, not allocate gigabytes
+    if (static_cast<int64_t>(size) > file_size) return false;
     if (!std::memcmp(id, "fmt ", 4)) {
       std::vector<char> buf(size);
       f.read(buf.data(), size);
@@ -224,7 +229,14 @@ int segan_io_gather(void* h, const char** paths, const int64_t* begs,
     float* dst = out + static_cast<int64_t>(i) * slice_size;
     eng->pool.submit([eng, path, beg, end, slice_size, preemph, dst, &failures,
                       &latch] {
-      auto wav = eng->load(path, preemph);
+      std::shared_ptr<Wav> wav;
+      try {
+        wav = eng->load(path, preemph);
+      } catch (...) {
+        // decode exceptions (bad_alloc on corrupt sizes, IO errors) count as
+        // failures instead of std::terminate-ing the whole process
+        wav = std::make_shared<Wav>();
+      }
       if (!wav->ok) {
         std::memset(dst, 0, sizeof(float) * slice_size);
         failures.fetch_add(1);
@@ -250,7 +262,12 @@ int segan_io_gather(void* h, const char** paths, const int64_t* begs,
 int64_t segan_io_read(void* h, const char* path, float preemph, float* out,
                       int64_t capacity) {
   auto* eng = static_cast<Engine*>(h);
-  auto wav = eng->load(path, preemph);
+  std::shared_ptr<Wav> wav;
+  try {
+    wav = eng->load(path, preemph);
+  } catch (...) {
+    return -1;
+  }
   if (!wav->ok) return -1;
   const int64_t n = static_cast<int64_t>(wav->samples.size());
   if (out && capacity >= n)

@@ -118,23 +118,31 @@ class DataLoader:
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         lock = threading.Lock()
+        stop = threading.Event()
         it = iter(enumerate(batches))
         results = {}
         next_emit = 0
 
         def worker():
             # workers collectively produce exactly len(batches) items, then exit;
-            # errors are forwarded so the consumer never blocks forever
-            while True:
+            # errors are forwarded, and the stop event unblocks q.put when the
+            # consumer abandons the iterator early (e.g. evaluate's max_samples break)
+            while not stop.is_set():
                 with lock:
                     try:
                         i, b = next(it)
                     except StopIteration:
                         return
                 try:
-                    q.put((i, self._make_batch(b), None))
+                    item = (i, self._make_batch(b), None)
                 except Exception as e:  # pragma: no cover - defensive
-                    q.put((i, None, e))
+                    item = (i, None, e)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
@@ -142,15 +150,23 @@ class DataLoader:
             t.start()
         emitted = 0
         total = len(batches)
-        # emit in order for determinism
-        while emitted < total:
-            i, batch, err = q.get()
-            if err is not None:
-                raise err
-            results[i] = batch
-            while next_emit in results:
-                yield results.pop(next_emit)
-                next_emit += 1
-                emitted += 1
-        for t in threads:
-            t.join(timeout=1.0)
+        try:
+            # emit in order for determinism
+            while emitted < total:
+                i, batch, err = q.get()
+                if err is not None:
+                    raise err
+                results[i] = batch
+                while next_emit in results:
+                    yield results.pop(next_emit)
+                    next_emit += 1
+                    emitted += 1
+        finally:
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            for t in threads:
+                t.join(timeout=1.0)

@@ -141,8 +141,12 @@ class SEDataset:
             wav = pre_emphasize_np(wav, self.preemph)
         wav = wav.astype(np.float32)
         # small LRU-ish cache to avoid re-reading the same file for every slice
+        # (loader workers share this dict: tolerate concurrent evictions)
         if len(self._wav_cache) > 64:
-            self._wav_cache.pop(next(iter(self._wav_cache)))
+            try:
+                self._wav_cache.pop(next(iter(self._wav_cache)))
+            except (KeyError, StopIteration, RuntimeError):
+                pass
         self._wav_cache[path] = wav
         return wav
 

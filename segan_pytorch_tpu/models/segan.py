@@ -410,6 +410,10 @@ class SEGAN:
     def _setup_parallel(self):
         cfg = self.cfg
         if cfg.dp and cfg.dp > 1:
+            if cfg.batch_size % cfg.dp != 0:
+                raise ValueError(
+                    f"batch_size ({cfg.batch_size}) must be divisible by the "
+                    f"data-parallel factor --dp ({cfg.dp})")
             from ..parallel import make_mesh, replicate
             self.mesh = make_mesh(cfg.dp)
             self.state = replicate(self.state, self.mesh)
@@ -451,8 +455,15 @@ class SEGAN:
         best_saver_g = Saver(cfg.save_path, max_ckpts=3, prefix=f"{self.name}-G-")
         best_saver_d = Saver(cfg.save_path, max_ckpts=3, prefix=f"{self.name}-D-")
         num_batches = len(dloader)
+        # resume-aware counters: continue iteration numbering (so checkpoint names
+        # never collide with the rotation index) and fast-forward the l1 schedule
+        start_step = int(self.state.step) if self.state is not None else 0
+        iteration = start_step + 1
+        start_epoch = start_step // max(num_batches, 1) + 1
         l1_weight = l1_init
-        iteration = 1
+        past = start_step - max(0, (l1_dec_epoch - 1)) * num_batches
+        if past > 0:
+            l1_weight = max(0.0, l1_init - l1_dec_step * past)
         timings = []
         evals = {}
         noisy_evals = {}
@@ -461,7 +472,7 @@ class SEGAN:
         z_sample = None
         patience = cfg.patience
         best_val_obj = 0
-        rng = jax.random.PRNGKey(cfg.seed)
+        rng = jax.random.PRNGKey(cfg.seed + start_step)
 
         from ..data.loader import device_prefetch
 
@@ -470,7 +481,7 @@ class SEGAN:
             from ..parallel import batch_sharding
 
             batch_shard = batch_sharding(self.mesh)
-        for epoch in range(1, cfg.epoch + 1):
+        for epoch in range(start_epoch, cfg.epoch + 1):
             beg_t = timeit.default_timer()
             for bidx, batch in enumerate(
                     device_prefetch(iter(dloader), sharding=batch_shard), start=1):
@@ -641,7 +652,12 @@ class SEGAN:
         for bidx, batch in enumerate(dloader, start=1):
             clean = np.asarray(batch["clean"], np.float32)  # (B, T)
             noisy = np.asarray(batch["noisy"], np.float32)
+            # only score valid rows: the loader pads the final ragged batch with
+            # duplicated rows carrying mask=0
+            bmask = np.asarray(batch.get("mask", np.ones(clean.shape[0])))
+            n_valid = int(bmask.sum())
             Genh = np.asarray(self.infer_G(jnp.asarray(noisy[..., None])))[..., 0]
+            clean, noisy, Genh = clean[:n_valid], noisy[:n_valid], Genh[:n_valid]
             clean_de = de_emphasize_np(clean, self.preemph)
             genh_de = de_emphasize_np(Genh, self.preemph)
             beg_t = timeit.default_timer()

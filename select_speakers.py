@@ -49,11 +49,18 @@ def load_spk2gen(vctk_path: str) -> dict:
 
 
 def gender_balanced_pick(sorted_spks, spk2gen, n, exclude=()):
-    """Greedy gender-balanced selection (ref select_speakers.py:139-191)."""
+    """Greedy gender-balanced selection (ref select_speakers.py:139-191).
+
+    Returns (picked, remainder): speakers skipped by a full gender quota while the
+    pick was still open do NOT join the remainder — the reference routes them to
+    train (its nontest_counts only collects entries seen after the test pick filled,
+    select_speakers.py:160-161)."""
     picked, f, m = [], 0, 0
-    for spk, _count in sorted_spks:
+    remainder = []
+    for spk, count in sorted_spks:
         if len(picked) >= n:
-            break
+            remainder.append((spk, count))
+            continue
         if spk in exclude:
             continue
         gen = spk2gen.get(spk)
@@ -61,14 +68,14 @@ def gender_balanced_pick(sorted_spks, spk2gen, n, exclude=()):
             if f <= n // 2:
                 f += 1
             else:
-                continue
+                continue  # quota-skipped -> train, as in the reference
         elif gen == "M":
             if m <= n // 2:
                 m += 1
             else:
                 continue
         picked.append(spk)
-    return picked
+    return picked, remainder
 
 
 def main(opts):
@@ -80,11 +87,11 @@ def main(opts):
     spk2count = {spk: sum(len(txt2spk[t]) for t in txts)
                  for spk, txts in spk2txt.items()}
     sorted_counts = sorted(spk2count.items(), key=lambda kv: kv[1])
-    test_spks = gender_balanced_pick(sorted_counts, spk2gen, opts.test_files)
-    nontest = [kv for kv in sorted_counts if kv[0] not in test_spks]
+    test_spks, nontest = gender_balanced_pick(sorted_counts, spk2gen,
+                                              opts.test_files)
     shuffle(nontest)
-    valid_spks = gender_balanced_pick(nontest, spk2gen, opts.valid_files,
-                                      exclude=test_spks)
+    valid_spks, _ = gender_balanced_pick(nontest, spk2gen, opts.valid_files,
+                                         exclude=test_spks)
     train_spks = [s for s in spk2gen if s not in test_spks and s not in valid_spks]
     print("train spks: ", len(train_spks))
     print("valid spks: ", len(valid_spks))
