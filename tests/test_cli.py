@@ -1,0 +1,98 @@
+"""CLI end-to-end tests: train.py -> checkpoints -> resume -> clean.py -> purge_ckpts,
+driven via subprocess on the forced-CPU backend (the real product surface)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, timeout=560):
+    env = dict(os.environ, SEGAN_TPU_PLATFORM="cpu")
+    return subprocess.run([sys.executable] + args, cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=timeout)
+
+
+@pytest.fixture(scope="module")
+def cli_data(tmp_path_factory):
+    from scipy.io import wavfile
+
+    root = tmp_path_factory.mktemp("cli")
+    for sub in ("clean", "noisy"):
+        (root / sub).mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        t = np.arange(12000) / 16000.0
+        c = 0.3 * np.sin(2 * np.pi * (220 + 40 * i) * t)
+        n = c + 0.05 * rng.randn(len(t))
+        wavfile.write(str(root / "clean" / f"u{i}.wav"), 16000,
+                      (c * 32767).astype(np.int16))
+        wavfile.write(str(root / "noisy" / f"u{i}.wav"), 16000,
+                      np.clip(n * 32767, -32768, 32767).astype(np.int16))
+    return root
+
+
+TINY = ["--batch_size", "4", "--slice_size", "4096",
+        "--genc_fmaps", "8", "16", "--genc_poolings", "4", "4", "--z_dim", "16",
+        "--denc_fmaps", "8", "16", "--denc_poolings", "4", "4",
+        "--dpool_slen", "256", "--no_train_gen", "--save_freq", "5"]
+
+
+class TestTrainCleanCLI:
+    def test_train_resume_clean_purge(self, cli_data):
+        save = str(cli_data / "ckpt")
+        cache = str(cli_data / "cache")
+        base = ["train.py", "--save_path", save,
+                "--clean_trainset", str(cli_data / "clean"),
+                "--noisy_trainset", str(cli_data / "noisy"),
+                "--cache_dir", cache] + TINY
+        r = run_cli(base + ["--epoch", "1"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "(Iter" in r.stdout
+        assert os.path.exists(os.path.join(save, "train.opts"))
+        idx = json.load(open(os.path.join(save, "EOE_G-checkpoints")))
+        first_ckpt = idx["current"]
+
+        # resume for 2 more epochs: iteration numbering must continue
+        r = run_cli(base + ["--epoch", "3", "--resume"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "Resumed from step" in r.stdout
+        idx = json.load(open(os.path.join(save, "EOE_G-checkpoints")))
+        assert idx["current"] != first_ckpt
+        assert len(set(idx["latest"])) == len(idx["latest"])  # no name collisions
+
+        # clean with the produced checkpoint
+        synth = str(cli_data / "synth")
+        r = run_cli(["clean.py",
+                     "--g_pretrained_ckpt",
+                     os.path.join(save, "weights_" + idx["current"]),
+                     "--cfg_file", os.path.join(save, "train.opts"),
+                     "--test_files", str(cli_data / "noisy"),
+                     "--synthesis_path", synth, "--soundfile"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs = os.listdir(synth)
+        assert len(outs) == 4
+        from scipy.io import wavfile
+
+        rate, wav = wavfile.read(os.path.join(synth, outs[0]))
+        assert rate == 16000 and wav.shape[0] == 12000
+
+        # purge keeps newest + current
+        r = run_cli(["purge_ckpts.py", save])
+        assert r.returncode == 0, r.stderr[-2000:]
+        idx2 = json.load(open(os.path.join(save, "EOE_G-checkpoints")))
+        assert len(idx2["latest"]) == 1
+
+    def test_train_rejects_bad_dp(self, cli_data):
+        r = run_cli(["train.py", "--save_path", str(cli_data / "ck2"),
+                     "--clean_trainset", str(cli_data / "clean"),
+                     "--noisy_trainset", str(cli_data / "noisy"),
+                     "--cache_dir", str(cli_data / "cache2"),
+                     "--dp", "3", "--epoch", "1"] + TINY)
+        assert r.returncode != 0
+        assert "divisible" in (r.stdout + r.stderr)
