@@ -96,3 +96,40 @@ class TestTrainCleanCLI:
                      "--dp", "3", "--epoch", "1"] + TINY)
         assert r.returncode != 0
         assert "divisible" in (r.stdout + r.stderr)
+
+
+class TestConverterCLI:
+    def test_weight_converter_roundtrip(self, cli_data, tmp_path):
+        """weight_converter.py converts a torch G ckpt to the native format, which
+        clean.py then loads identically to the torch original."""
+        torch = pytest.importorskip("torch")
+        # fabricate a tiny torch generator state dict matching the TINY config
+        rng = np.random.RandomState(1)
+        st = {}
+        for i, (cin, cout) in enumerate([(1, 8), (8, 16)]):
+            st[f"enc_blocks.{i}.conv.weight"] = torch.from_numpy(
+                rng.randn(cout, cin, 31).astype("f") * 0.05)
+            st[f"enc_blocks.{i}.conv.bias"] = torch.from_numpy(
+                rng.randn(cout).astype("f") * 0.05)
+            st[f"enc_blocks.{i}.act.weight"] = torch.from_numpy(
+                rng.randn(cout).astype("f") * 0.05)
+        st["alpha_0.skip_k"] = torch.from_numpy(rng.randn(1, 8, 1).astype("f"))
+        for i, (cin, cout) in enumerate([(32, 8), (16, 1)]):
+            st[f"dec_blocks.{i}.deconv.weight"] = torch.from_numpy(
+                rng.randn(cin, cout, 31).astype("f") * 0.05)
+            st[f"dec_blocks.{i}.deconv.bias"] = torch.from_numpy(
+                rng.randn(cout).astype("f") * 0.05)
+            if i < 1:
+                st[f"dec_blocks.{i}.act.weight"] = torch.from_numpy(
+                    rng.randn(cout).astype("f") * 0.05)
+        src = str(tmp_path / "tg.ckpt")
+        torch.save({"state_dict": st}, src)
+        out = str(tmp_path / "tg.jax")
+        r = run_cli(["weight_converter.py", src, "--out", out, "--which", "G"])
+        assert r.returncode == 0, r.stderr[-1500:]
+        assert os.path.exists(out)
+        from segan_pytorch_tpu.utils.checkpoint import load_pytree
+
+        tree, meta = load_pytree(out)
+        assert "enc_blocks_0" in tree["state_dict"]["params"]
+        assert meta["source"] == src
