@@ -34,6 +34,9 @@ def main(opts):
     else:
         segan = SEGAN(cfg)
     segan.init_state(jax.random.PRNGKey(opts.seed), batch_size=1)
+    # seed the per-utterance z stream from --seed (each wav below gets a fresh z,
+    # matching the reference's per-utterance in-forward randn, ref model.py:144-146)
+    segan._gen_rng = jax.random.PRNGKey(opts.seed)
     segan.g_load_pretrained(opts.g_pretrained_ckpt, True)
 
     if opts.h5:

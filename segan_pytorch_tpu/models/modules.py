@@ -201,8 +201,9 @@ class ConvTranspose1d(nn.Module):
     def __call__(self, x, train: bool = False):
         w = self.param("weight", self.w_init, (self.kwidth, self.in_ch, self.out_ch))
         if self.snorm:
-            # torch views ConvTranspose weight (Cin, Cout*K) with dim0=Cin as 'out'
-            mat = w.transpose(1, 0, 2).reshape(self.in_ch, -1)
+            # torch spectral_norm uses dim=1 for ConvTranspose*d: out-dim is Cout,
+            # matrix view (Cout, Cin*K) — mirror it exactly so u/v state transfers
+            mat = w.transpose(2, 1, 0).reshape(self.out_ch, -1)
             w = spectral_normalize(self, "weight", w, mat, train)
         b = None
         if self.use_bias:
@@ -320,7 +321,13 @@ class GConv1DBlock(nn.Module):
 
 class GDeconv1DBlock(nn.Module):
     """ConvTranspose1d with pad=max(0,(stride-kwidth)//-2), odd-kwidth last-sample trim,
-    then norm + PReLU(0)/Tanh (ref modules.py:107-141)."""
+    then norm + PReLU(0)/Tanh (ref modules.py:107-141).
+
+    Note: the reference accepts a ``bias`` argument but never forwards it to
+    nn.ConvTranspose1d (ref modules.py:110-119), so reference decoder deconvs ALWAYS
+    have bias — even under --no_bias.  We replicate that exactly (use_bias is accepted
+    for API symmetry but intentionally ignored) so no_bias torch checkpoints transfer
+    without dropping deconv.bias leaves."""
 
     ninp: int
     fmaps: int
@@ -340,7 +347,7 @@ class GDeconv1DBlock(nn.Module):
             self.kwidth,
             stride=self.stride,
             padding=pad,
-            use_bias=self.use_bias,
+            use_bias=True,  # ref bug: bias arg never reaches ConvTranspose1d
             snorm=(self.norm_type == "snorm"),
             w_init=self.w_init,
             name="deconv",

@@ -68,7 +68,9 @@ class GANTrainState:
 # ---------------------------------------------------------------------------
 def build_optimizer(opt: str, lr: float, betas=(0.0, 0.9)) -> optax.GradientTransformation:
     if opt == "rmsprop":
-        return optax.rmsprop(lr, decay=0.99, eps=1e-8)
+        # eps_in_sqrt=False matches torch's g / (sqrt(nu) + eps); optax's default
+        # g * rsqrt(nu + eps) drifts most at early steps / near-zero gradients
+        return optax.rmsprop(lr, decay=0.99, eps=1e-8, eps_in_sqrt=False)
     if opt == "adam":
         return optax.adam(lr, b1=betas[0], b2=betas[1], eps=1e-8)
     raise ValueError(f"Unrecognized optimizer {opt}")
@@ -254,6 +256,7 @@ class SEGAN:
         self.mesh = None
         self._jit_step = None
         self._jit_gfwd = None
+        self._gen_rng = None  # per-utterance z stream for generate()
         self.writer = None
         self.pool = None
 
@@ -305,10 +308,24 @@ class SEGAN:
     def d_load_pretrained(self, ckpt_path: str, load_last: bool = False):
         self._load_pretrained("D", ckpt_path, load_last)
 
+    def _skip_last_names(self, which: str):
+        """Names of the output layer dropped by partial pretrained loading.
+
+        The reference drops the checkpoint's last 2 keys (the final layer's
+        weight+bias) for ANY model unless load_last (ref core.py:130-137): D's head
+        output (fc_4 / fc / mlp_2 depending on pool_type) and G's final deconv."""
+        if which == "D":
+            head = {"none": "fc_4", "conv": "fc", "gmax": "fc",
+                    "gavg": "fc", "mlp": "mlp_2"}
+            return (head.get(self.cfg.dpool_type, "fc_4"),)
+        dec_fmaps = self.cfg.gdec_fmaps
+        n_dec = len(dec_fmaps) if dec_fmaps is not None else len(self.cfg.genc_fmaps)
+        return (f"dec_blocks_{n_dec - 1}/",)
+
     def _load_pretrained(self, which: str, ckpt_path: str, load_last: bool):
         from ..utils.checkpoint import load_pytree
 
-        skip = () if load_last else (("fc_4",) if which == "D" else ())
+        skip = () if load_last else self._skip_last_names(which)
         if ckpt_path.endswith(".ckpt") and _is_torch_ckpt(ckpt_path):
             if which == "G":
                 loaded = load_torch_generator(ckpt_path)
@@ -360,14 +377,19 @@ class SEGAN:
         return out
 
     def generate(self, inwav: np.ndarray, z: Optional[np.ndarray] = None,
-                 chunk_buckets: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+                 chunk_buckets: bool = True,
+                 rng=None) -> Tuple[np.ndarray, np.ndarray]:
         """Chunked enhancement of one (already normalized+pre-emphasized) waveform.
 
-        The reference loops sequentially over 16384-sample chunks reusing the first
-        chunk's z (ref model.py:116-157).  TPU-native version: all chunks become ONE
-        device batch (the chunk grid is embarrassingly parallel) with the z row tiled —
-        same math, one pass.  `chunk_buckets` pads the chunk count to the next power of
-        two to bound the number of distinct compiled shapes.
+        The reference loops sequentially over 16384-sample chunks, drawing a FRESH z
+        for each utterance and reusing it across that utterance's chunks
+        (ref model.py:116-157, z captured at :144-146).  TPU-native version: all
+        chunks become ONE device batch (the chunk grid is embarrassingly parallel)
+        with the z row tiled — same math, one pass.  z freshness matches the
+        reference: each generate() call advances a per-model PRNG stream (seeded by
+        cfg.seed, overridable per call via `rng`), so two utterances get different z
+        while chunks within one utterance share it.  `chunk_buckets` pads the chunk
+        count to the next power of two to bound the number of compiled shapes.
         """
         N = self.cfg.slice_size
         T = int(np.asarray(inwav).reshape(-1).shape[0])
@@ -381,8 +403,11 @@ class SEGAN:
         x = x.reshape(n_padded, N, 1)
         if not self.G.no_z:
             if z is None:
-                zrow = self.G.sample_z(
-                    jax.random.PRNGKey(self.cfg.seed), (1, N, 1))
+                if rng is None:
+                    if self._gen_rng is None:
+                        self._gen_rng = jax.random.PRNGKey(self.cfg.seed)
+                    self._gen_rng, rng = jax.random.split(self._gen_rng)
+                zrow = self.G.sample_z(rng, (1, N, 1))
                 self.z = np.asarray(zrow)
             else:
                 self.z = np.asarray(z).reshape(1, *np.asarray(z).shape[-2:])

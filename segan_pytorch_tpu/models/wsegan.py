@@ -235,8 +235,12 @@ class WSEGAN(SEGAN):
 
         stream = device_prefetch(batch_stream(), sharding=batch_shard)
         total_iters = cfg.epoch * num_batches
+        # resume-aware: continue iteration numbering from the restored step so a
+        # resumed run executes only the remaining budget and EOE ckpt names carry on
+        # (mirrors SEGAN.train; the reference has no resume at all)
+        start_iter = int(self.state.step) if self.state is not None else 0
         beg_t = timeit.default_timer()
-        for iteration in range(1, total_iters + 1):
+        for iteration in range(start_iter + 1, total_iters + 1):
             batch = next(stream)
             clean = batch["clean"][..., None]
             noisy = batch["noisy"][..., None]
@@ -285,8 +289,9 @@ class WSEGAN(SEGAN):
                 if not isinstance(v, dict):
                     self.writer.histogram(f"skip_{name}", np.asarray(v), iteration)
 
-    def generate(self, inwav, z=None, chunk_buckets: bool = False):
-        """Single full pass padded to a multiple of 1024 (ref model.py:755-766)."""
+    def generate(self, inwav, z=None, chunk_buckets: bool = False, rng=None):
+        """Single full pass padded to a multiple of 1024 (ref model.py:755-766).
+        z is fresh per utterance (drawn in-forward by the reference generator)."""
         wav = np.asarray(inwav, np.float32).reshape(-1)
         ori_len = wav.shape[0]
         p_wav = np.asarray(make_div_n(jnp.asarray(wav), 1024))
@@ -297,8 +302,11 @@ class WSEGAN(SEGAN):
             for p in self.G.poolings:
                 t //= p
             if z is None:
-                zb = jax.random.normal(jax.random.PRNGKey(self.cfg.seed),
-                                       (1, t, self.G.effective_z_dim))
+                if rng is None:
+                    if self._gen_rng is None:
+                        self._gen_rng = jax.random.PRNGKey(self.cfg.seed)
+                    self._gen_rng, rng = jax.random.split(self._gen_rng)
+                zb = jax.random.normal(rng, (1, t, self.G.effective_z_dim))
             else:
                 zb = jnp.asarray(z)
         out, hall = self.G.apply({"params": self.state.g_params, **self.state.g_vars},
@@ -421,8 +429,10 @@ class AEWSEGAN(WSEGAN):
 
         stream = device_prefetch(batch_stream())
         total_iters = cfg.epoch * num_batches
+        # resume-aware: same remaining-budget semantics as WSEGAN.train above
+        start_iter = int(self.state.step) if self.state is not None else 0
         beg_t = timeit.default_timer()
-        for iteration in range(1, total_iters + 1):
+        for iteration in range(start_iter + 1, total_iters + 1):
             batch = next(stream)
             clean = batch["clean"][..., None]
             noisy = batch["noisy"][..., None]

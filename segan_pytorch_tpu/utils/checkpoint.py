@@ -182,11 +182,34 @@ def _torch_state_dict(ckpt_file: str) -> Dict[str, np.ndarray]:
             k = k.replace("gen_enc", "enc_blocks")
         elif "gen_dec" in k:
             k = k.replace("gen_dec", "dec_blocks").replace("conv", "deconv")
+        # torch nn.utils.spectral_norm stores the unnormalized weight as
+        # 'weight_orig' (+ power-iteration state weight_u/weight_v); our layers keep
+        # the unnormalized tensor under plain 'weight', so rename here and let the
+        # per-layer converters route weight_u/weight_v into the 'spectral' collection
+        if k.endswith(".weight_orig"):
+            k = k[: -len("_orig")]
         try:
             out[k] = v.detach().cpu().numpy()
         except AttributeError:
             continue  # num_batches_tracked etc. already handled below
     return out
+
+
+def _snorm_v_to_ours(v: np.ndarray, kind: str, w_shape) -> np.ndarray:
+    """Re-permute torch's spectral-norm right-vector `v` into our column order.
+
+    sigma = u^T W v is invariant to how W's columns are flattened, but the stored v
+    indexes torch's flattening — torch views Conv1d weight as (Cout, Cin*K) while we
+    view (K*Cin, Cout)^T with columns ordered (K, Cin), so Conv1d v must be
+    transposed for exact eval-mode parity (torch recomputes W/sigma(u, v) from the
+    loaded state).  ConvTranspose1d uses torch's dim=1 view (Cout, Cin*K) on both
+    sides (see modules.py:ConvTranspose1d), so its v transfers directly, as do
+    Linear ((out, in) view) and PReLU ((N, 1) view)."""
+    v = np.asarray(v, np.float32).reshape(-1)
+    if kind == "conv":  # torch cols (Cin, K) -> ours (K, Cin)
+        _, cin, kw = w_shape
+        return v.reshape(cin, kw).T.reshape(-1)
+    return v  # deconv / linear / prelu: same column order
 
 
 def load_torch_generator(ckpt_file: str) -> dict:
@@ -199,6 +222,7 @@ def load_torch_generator(ckpt_file: str) -> dict:
     st = _torch_state_dict(ckpt_file)
     params: dict = {}
     batch_stats: dict = {}
+    spectral: dict = {}
 
     def put(path, arr, root=None):
         node = params if root is None else root
@@ -218,6 +242,12 @@ def load_torch_generator(ckpt_file: str) -> dict:
                 put([blk, "deconv", "weight"], np.transpose(v, (2, 0, 1)))
             elif sub in ("conv", "deconv") and leaf == "bias":
                 put([blk, sub, "bias"], v)
+            elif sub in ("conv", "deconv") and leaf == "weight_u":
+                put([blk, sub, "weight_u"], v, root=spectral)
+            elif sub in ("conv", "deconv") and leaf == "weight_v":
+                w_shape = st[f"{parts[0]}.{parts[1]}.{sub}.weight"].shape
+                put([blk, sub, "weight_v"], _snorm_v_to_ours(v, sub, w_shape),
+                    root=spectral)
             elif sub == "act":
                 put([blk, "act", "weight"], v)
             elif sub == "norm":
@@ -238,6 +268,8 @@ def load_torch_generator(ckpt_file: str) -> dict:
     out = {"params": params}
     if batch_stats:
         out["batch_stats"] = batch_stats
+    if spectral:
+        out["spectral"] = spectral
     return out
 
 
@@ -250,6 +282,7 @@ def load_torch_discriminator(ckpt_file: str, pool_slen: int, last_fmaps: int) ->
     st = _torch_state_dict(ckpt_file)
     params: dict = {}
     batch_stats: dict = {}
+    spectral: dict = {}
 
     def put(root, path, arr, dtype=np.float32):
         node = root
@@ -266,6 +299,12 @@ def load_torch_discriminator(ckpt_file: str, pool_slen: int, last_fmaps: int) ->
                 put(params, [blk, "conv", "weight"], np.transpose(v, (2, 1, 0)))
             elif sub == "conv" and leaf == "bias":
                 put(params, [blk, "conv", "bias"], v)
+            elif sub == "conv" and leaf == "weight_u":
+                put(spectral, [blk, "conv", "weight_u"], v)
+            elif sub == "conv" and leaf == "weight_v":
+                w_shape = st[f"enc_blocks.{parts[1]}.conv.weight"].shape
+                put(spectral, [blk, "conv", "weight_v"],
+                    _snorm_v_to_ours(v, "conv", w_shape))
             elif sub == "act":
                 put(params, [blk, "act", "weight"], v)
             elif sub == "norm":
@@ -279,7 +318,16 @@ def load_torch_discriminator(ckpt_file: str, pool_slen: int, last_fmaps: int) ->
             idx = int(parts[1])
             leaf = parts[2]
             name = f"fc_{idx}"
-            if idx in (1, 3):  # PReLU
+            if leaf == "weight_u":
+                put(spectral, [name, "weight_u"], v)
+            elif leaf == "weight_v":
+                vv = np.asarray(v, np.float32).reshape(-1)
+                if idx == 0:
+                    # fc_0's input order differs (torch C*T flatten vs our T*C):
+                    # v indexes the Linear's input columns -> permute like the weight
+                    vv = vv.reshape(last_fmaps, pool_slen).T.reshape(-1)
+                put(spectral, [name, "weight_v"], vv)
+            elif idx in (1, 3):  # PReLU
                 put(params, [name, "weight"], v)
             elif leaf == "weight":
                 w = np.asarray(v)
@@ -294,13 +342,22 @@ def load_torch_discriminator(ckpt_file: str, pool_slen: int, last_fmaps: int) ->
             # single Linear head (pool_type conv/gmax/gavg, ref disc.py:124,130,135)
             if parts[1] == "weight":
                 put(params, ["fc", "weight"], np.asarray(v).T)
+            elif parts[1] in ("weight_u", "weight_v"):
+                put(spectral, ["fc", parts[1]], v)
             else:
                 put(params, ["fc", "bias"], v)
         elif parts[0] == "mlp":
             # Conv1d -> PReLU -> Conv1d (ref disc.py:139-143)
             idx, leaf = int(parts[1]), parts[2]
             name = f"mlp_{idx}"
-            if idx == 1:  # PReLU
+            if leaf == "weight_u":
+                put(spectral, [name, "weight_u"], v)
+            elif leaf == "weight_v":
+                w_shape = st[f"mlp.{idx}.weight"].shape
+                kind = "conv" if len(w_shape) == 3 else "linear"
+                put(spectral, [name, "weight_v"],
+                    _snorm_v_to_ours(v, kind, w_shape))
+            elif idx == 1:  # PReLU
                 put(params, [name, "weight"], v)
             elif leaf == "weight":
                 put(params, [name, "weight"], np.transpose(v, (2, 1, 0)))
@@ -309,9 +366,17 @@ def load_torch_discriminator(ckpt_file: str, pool_slen: int, last_fmaps: int) ->
         elif parts[0] in ("pool_conv",):
             if parts[1] == "weight":
                 put(params, ["pool_conv", "weight"], np.transpose(v, (2, 1, 0)))
+            elif parts[1] in ("weight_u", "weight_v"):
+                kind = "conv" if parts[1] == "weight_v" else "linear"
+                w_shape = st["pool_conv.weight"].shape
+                put(spectral, ["pool_conv", parts[1]],
+                    _snorm_v_to_ours(v, "conv", w_shape)
+                    if parts[1] == "weight_v" else v)
             else:
                 put(params, ["pool_conv", "bias"], v)
     out = {"params": params}
     if batch_stats:
         out["batch_stats"] = batch_stats
+    if spectral:
+        out["spectral"] = spectral
     return out

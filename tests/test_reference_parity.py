@@ -109,6 +109,34 @@ class TestGeneratorParity:
                                train=False))
         np.testing.assert_allclose(y, y_ref, atol=3e-5)
 
+    def test_no_bias_parity(self, ref, tmp_path):
+        """--no_bias configs: the reference's GDeconv1DBlock accepts bias but never
+        forwards it to ConvTranspose1d (ref modules.py:110-119), so decoder deconvs
+        keep bias even when bias=False.  Our blocks must replicate that bug or the
+        torch checkpoint's deconv.bias leaves are silently dropped on transfer."""
+        RG = ref.gen.Generator(1, [8, 16, 32], 31, [4, 4, 4], z_dim=32, skip=True,
+                               bias=False, skip_init="one", skip_type="alpha",
+                               norm_type=None, skip_merge="concat", skip_kwidth=11)
+        RG.eval()
+        # push deconv biases away from 0 so the parity is non-trivial
+        with torch.no_grad():
+            for blk in RG.dec_blocks:
+                if hasattr(blk, "deconv") and blk.deconv.bias is not None:
+                    blk.deconv.bias.add_(torch.randn_like(blk.deconv.bias))
+        ckpt = _save_ckpt(RG, tmp_path, "g_nobias.ckpt")
+        rng = np.random.RandomState(7)
+        x = rng.randn(2, 1024, 1).astype(np.float32) * 0.3
+        z = rng.randn(2, 16, 32).astype(np.float32)
+        with torch.no_grad():
+            y_ref = RG(torch.from_numpy(x.transpose(0, 2, 1)),
+                       z=torch.from_numpy(z.transpose(0, 2, 1)))
+        cfg = small_cfg(no_bias=True)
+        cfg.bias = False
+        G, variables = _load_our_G(cfg, ckpt, x, z)
+        y = np.asarray(G.apply(variables, jnp.asarray(x), z=jnp.asarray(z),
+                               train=False))
+        np.testing.assert_allclose(y, y_ref.numpy().transpose(0, 2, 1), atol=3e-5)
+
     def test_no_z_parity(self, ref, tmp_path):
         RG = ref.gen.Generator(1, [8, 16, 32], 31, [4, 4, 4], no_z=True, skip=True,
                                bias=True, skip_init="one", skip_type="alpha",
@@ -180,6 +208,67 @@ class TestDiscriminatorParity:
         if pool_type == "mlp":
             yr = yr.transpose(0, 2, 1)
         np.testing.assert_allclose(yo, yr, atol=5e-5)
+
+
+class TestSpectralNormParity:
+    """Torch checkpoints built with --gnorm_type snorm --dnorm_type snorm (the
+    run_wsegan_train.sh configuration) store weight_orig/weight_u/weight_v per
+    nn.utils.spectral_norm; conversion must land them as our unnormalized 'weight'
+    + 'spectral' u/v (v re-permuted to our column order) for exact eval parity."""
+
+    def test_snorm_generator_roundtrip(self, ref, tmp_path):
+        RG = ref.gen.Generator(1, [8, 16, 32], 31, [4, 4, 4], z_dim=32, skip=True,
+                               bias=True, skip_init="one", skip_type="alpha",
+                               norm_type="snorm", skip_merge="concat",
+                               skip_kwidth=11)
+        # a few train-mode forwards so u/v move off their random init
+        with torch.no_grad():
+            for i in range(3):
+                RG(torch.randn(2, 1, 1024) * 0.3,
+                   z=torch.randn(2, 32, 16))
+        RG.eval()
+        ckpt = _save_ckpt(RG, tmp_path, "g_snorm.ckpt")
+        rng = np.random.RandomState(11)
+        x = rng.randn(2, 1024, 1).astype(np.float32) * 0.3
+        z = rng.randn(2, 16, 32).astype(np.float32)
+        with torch.no_grad():
+            y_ref = RG(torch.from_numpy(x.transpose(0, 2, 1)),
+                       z=torch.from_numpy(z.transpose(0, 2, 1)))
+        cfg = small_cfg(gnorm_type="snorm")
+        G, variables = _load_our_G(cfg, ckpt, x, z)
+        assert "spectral" in variables and variables["spectral"], (
+            "snorm u/v state missing after conversion")
+        y = np.asarray(G.apply(variables, jnp.asarray(x), z=jnp.asarray(z),
+                               train=False))
+        np.testing.assert_allclose(y, y_ref.numpy().transpose(0, 2, 1), atol=5e-5)
+
+    def test_snorm_discriminator_roundtrip(self, ref, tmp_path):
+        from segan_pytorch_tpu.models.discriminator import build_discriminator
+        from segan_pytorch_tpu.utils.checkpoint import (
+            load_torch_discriminator, filter_merge_state)
+
+        RD = ref.disc.Discriminator(2, [8, 16, 32], 31, [4, 4, 4],
+                                    pool_type="none", pool_slen=16,
+                                    norm_type="snorm", phase_shift=None)
+        with torch.no_grad():
+            for _ in range(3):
+                RD(torch.randn(2, 2, 1024) * 0.3)
+        RD.eval()
+        ckpt = _save_ckpt(RD, tmp_path, "d_snorm.ckpt")
+        cfg = small_cfg(dnorm_type="snorm")
+        cfg.phase_shift = None
+        D = build_discriminator(cfg)
+        v = D.init({"params": KEY, "phase": KEY}, jnp.zeros((1, 1024, 2)),
+                   train=False)
+        loaded = load_torch_discriminator(ckpt, cfg.dpool_slen, cfg.denc_fmaps[-1])
+        assert "spectral" in loaded and loaded["spectral"]
+        model_tree = {"params": v["params"], "spectral": v["spectral"]}
+        merged = filter_merge_state(model_tree, loaded)
+        x = np.random.RandomState(12).randn(2, 1024, 2).astype(np.float32) * 0.3
+        with torch.no_grad():
+            y_ref, _ = RD(torch.from_numpy(x.transpose(0, 2, 1)))
+        y, _ = D.apply(merged, jnp.asarray(x), train=False)
+        np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=5e-5)
 
 
 class TestLossParity:

@@ -182,6 +182,105 @@ class TestDataParallel:
         assert int(s8.state.step) == 2
 
 
+class TestGenerateZ:
+    def test_fresh_z_per_utterance_shared_across_chunks(self):
+        """Each generate() call must draw a fresh z (ref model.py:144-146 draws per
+        utterance), while all chunks of one utterance share a single z row."""
+        segan = SEGAN(small_cfg())
+        segan.init_state(batch_size=1)
+        wav = np.random.RandomState(0).randn(2048).astype(np.float32) * 0.1
+        out1, _ = segan.generate(wav)
+        z1 = segan.z.copy()
+        out2, _ = segan.generate(wav)
+        z2 = segan.z.copy()
+        # z is one row (shared by the chunk grid), fresh per call
+        assert z1.shape[0] == 1
+        assert not np.array_equal(z1, z2)
+        assert not np.array_equal(out1, out2)
+        # explicit z pin -> deterministic output
+        out3, _ = segan.generate(wav, z=z1)
+        out4, _ = segan.generate(wav, z=z1)
+        np.testing.assert_array_equal(out3, out4)
+        np.testing.assert_allclose(out3, out1, atol=1e-6)
+
+    def test_wsegan_fresh_z_per_utterance(self):
+        ws = WSEGAN(small_cfg(wsegan=True))
+        ws.init_state(batch_size=1)
+        wav = np.random.RandomState(1).randn(2048).astype(np.float32) * 0.1
+        o1, _ = ws.generate(wav)
+        o2, _ = ws.generate(wav)
+        assert not np.array_equal(o1, o2)
+
+
+class TestOptimizerParity:
+    def test_rmsprop_matches_torch(self):
+        """optax rmsprop(eps_in_sqrt=False) must track torch.optim.RMSprop
+        (alpha=0.99, eps=1e-8, g / (sqrt(nu)+eps)) step for step — including the
+        early steps where eps placement matters most (ref model.py:219-222)."""
+        torch = pytest.importorskip("torch")
+        from segan_pytorch_tpu.models.segan import build_optimizer
+
+        rng = np.random.RandomState(0)
+        w0 = rng.randn(5, 3).astype(np.float32)
+        target = rng.randn(5, 3).astype(np.float32)
+
+        tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        topt = torch.optim.RMSprop([tw], lr=5e-5)
+        tx = build_optimizer("rmsprop", 5e-5)
+        jw = jnp.asarray(w0)
+        jstate = tx.init(jw)
+
+        def loss_grad(w):
+            return 2.0 * (w - target)  # d/dw of sum((w-t)^2)
+
+        for i in range(20):
+            topt.zero_grad()
+            tloss = ((tw - torch.from_numpy(target)) ** 2).sum()
+            tloss.backward()
+            topt.step()
+            g = loss_grad(np.asarray(jw))
+            updates, jstate = tx.update(jnp.asarray(g), jstate, jw)
+            jw = jw + updates
+        np.testing.assert_allclose(np.asarray(jw), tw.detach().numpy(),
+                                   rtol=1e-5, atol=1e-7)
+
+
+class TestWSEGANResume:
+    def _fake_dloader(self, n_batches=3, B=2, T=1024):
+        clean, noisy, mask = synth_batch(B=B, T=T)
+
+        class DL:
+            def __len__(self):
+                return n_batches
+
+            def __iter__(self):
+                for _ in range(n_batches):
+                    yield {"clean": clean[..., 0], "noisy": noisy[..., 0],
+                           "mask": mask, "uttname": ["a"] * B}
+
+        return DL()
+
+    def test_resumed_wsegan_runs_only_remaining_iters(self, tmp_path, monkeypatch):
+        """After restoring state.step=k, WSEGAN.train must execute exactly
+        epoch*num_batches - k steps (remaining budget), not the full budget."""
+        cfg = small_cfg(wsegan=True, batch_size=2, epoch=2,
+                        save_path=str(tmp_path), no_train_gen=True)
+        ws = WSEGAN(cfg)
+        ws.init_state(batch_size=2)
+        ws.state = ws.state.replace(step=jnp.asarray(4, jnp.int32))
+        calls = []
+        orig = ws.train_step
+
+        def counting_step(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(ws, "train_step", counting_step)
+        dl = self._fake_dloader(n_batches=3)
+        ws.train(cfg, dl, log_freq=1000)  # total budget 2*3=6, resumed at 4
+        assert len(calls) == 2, len(calls)
+
+
 class TestL1Schedule:
     def test_decay_only_after_epoch(self):
         """l1 weight decays by l1_dec_step per batch once epoch >= l1_dec_epoch,
