@@ -1,11 +1,16 @@
 """Benchmark: SEGAN+ fused G+D train-step throughput (slices/sec/chip) on real hardware.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Baseline note: the reference repo publishes NO benchmark numbers (BASELINE.md); its train
 loop only logs its own step time. `vs_baseline` is therefore computed against a documented
 estimate of the single-GPU PyTorch-0.4 reference at its canonical config (batch 300,
 RMSprop, ref run_segan+_train.sh): ~500 slices/sec on a V100-class GPU (≈0.6 s/step).
+
+--dp N shards the batch over an N-device mesh (XLA inserts the gradient all-reduces).
+Real multi-chip hardware is not reachable from this container, so --dp is exercised on
+the virtual CPU mesh (SEGAN_TPU_PLATFORM=cpu, 8 host devices) to measure step overhead
+and validate scaling mechanics; the single-chip TPU number stays the headline.
 """
 from __future__ import annotations
 
@@ -27,6 +32,15 @@ def main():
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--compute_dtype", type=str, default="bfloat16")
     parser.add_argument("--use_pallas", action="store_true", default=False)
+    parser.add_argument("--dp", type=int, default=1,
+                        help="data-parallel shards (needs >= dp devices; use "
+                             "SEGAN_TPU_PLATFORM=cpu for the 8-device virtual mesh)")
+    parser.add_argument("--preset", type=str, default="full",
+                        choices=["full", "tiny"],
+                        help="'full' = the flagship SEGAN+ config (headline number); "
+                             "'tiny' = small model for DP-mechanics/overhead runs on "
+                             "the virtual CPU mesh, where the full model is too slow "
+                             "to compile")
     args = parser.parse_args()
 
     import jax
@@ -37,12 +51,20 @@ def main():
     from segan_pytorch_tpu.utils.config import SEGANConfig
     from segan_pytorch_tpu.models import SEGAN
 
-    # the fused step runs on ONE device unless a dp mesh is requested; dividing by
-    # all visible chips would misreport per-chip throughput on multi-chip hosts
-    n_chips = 1
+    n_chips = max(args.dp, 1)
+    if len(jax.devices()) < n_chips:
+        raise SystemExit(
+            f"--dp {args.dp} needs {n_chips} devices, have {len(jax.devices())} "
+            f"(set SEGAN_TPU_PLATFORM=cpu for the virtual 8-device mesh)")
+    arch = {}
+    if args.preset == "tiny":
+        arch = dict(slice_size=4096, genc_fmaps=[16, 32, 64],
+                    genc_poolings=[4, 4, 4], z_dim=64,
+                    denc_fmaps=[16, 32, 64], denc_poolings=[4, 4, 4],
+                    dpool_slen=64)
     cfg = SEGANConfig(batch_size=args.batch_size, save_path="/tmp/bench_segan",
                       compute_dtype=args.compute_dtype, no_train_gen=True,
-                      use_pallas=args.use_pallas)
+                      use_pallas=args.use_pallas, dp=args.dp, **arch)
     segan = SEGAN(cfg)
     segan.init_state(batch_size=args.batch_size)
     segan.prepare_train(args.batch_size)
@@ -75,13 +97,21 @@ def main():
     dt = time.perf_counter() - t0
 
     steps_per_sec = args.steps / dt
-    slices_per_sec_per_chip = steps_per_sec * B / max(n_chips, 1)
+    slices_per_sec_per_chip = steps_per_sec * B / n_chips
     result = {
         "metric": "train_slices_per_sec_per_chip",
         "value": round(slices_per_sec_per_chip, 2),
         "unit": "slices/s/chip",
         "vs_baseline": round(slices_per_sec_per_chip / BASELINE_SLICES_PER_SEC_EST, 3),
     }
+    if args.dp > 1:
+        result["dp"] = args.dp
+        result["aggregate_slices_per_sec"] = round(steps_per_sec * B, 2)
+    from segan_pytorch_tpu.utils.profiling import mfu
+
+    step_mfu = mfu(segan.step_flops(), dt / args.steps, n_chips)
+    if step_mfu is not None:
+        result["mfu"] = round(step_mfu, 4)
     print(json.dumps(result))
 
 

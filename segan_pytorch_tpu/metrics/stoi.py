@@ -39,7 +39,9 @@ def _thirdoct(fs: int, nfft: int, num_bands: int, min_freq: float):
 
 
 def _frame_sig(x: np.ndarray, frame_len: int, hop: int) -> np.ndarray:
-    n = (len(x) - frame_len) // hop + 1
+    # the MATLAB grid is `1:K:(length(x)-N)` (stoi.m:130,152): the last frame START
+    # is at most length-N (1-based), i.e. a frame never includes the final sample
+    n = (len(x) - frame_len - 1) // hop + 1 if len(x) > frame_len else 0
     if n <= 0:
         return np.zeros((0, frame_len))
     idx = np.arange(n)[:, None] * hop + np.arange(frame_len)[None, :]

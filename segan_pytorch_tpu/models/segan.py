@@ -257,6 +257,8 @@ class SEGAN:
         self._jit_step = None
         self._jit_gfwd = None
         self._gen_rng = None  # per-utterance z stream for generate()
+        self._step_flops = None
+        self._flops_args = None
         self.writer = None
         self.pool = None
 
@@ -464,7 +466,20 @@ class SEGAN:
         new_state, metrics, Genh, z = self._jit_step(
             self.state, clean, noisy, mask, rng, jnp.float32(l1_weight))
         self.state = new_state
+        # arg exemplars for step_flops(): new_state has the same avals/shardings as
+        # the (donated) input state, so lower().compile() hits the jit cache
+        self._flops_args = (new_state, clean, noisy, mask, rng,
+                            jnp.float32(l1_weight))
         return metrics, Genh, z
+
+    def step_flops(self):
+        """FLOPs of one fused train step per XLA's compiled cost analysis (cached);
+        call after at least one train_step."""
+        if self._step_flops is None and getattr(self, "_flops_args", None) is not None:
+            from ..utils.profiling import compiled_flops
+
+            self._step_flops = compiled_flops(self._jit_step, *self._flops_args)
+        return self._step_flops
 
     def train(self, cfg: SEGANConfig, dloader, criterion=None,
               l1_init: float = 100.0, l1_dec_step: float = 1e-5,
@@ -489,7 +504,12 @@ class SEGAN:
         past = start_step - max(0, (l1_dec_epoch - 1)) * num_batches
         if past > 0:
             l1_weight = max(0.0, l1_init - l1_dec_step * past)
-        timings = []
+        from ..utils.profiling import StepTimer, device_memory_stats, mfu
+
+        timer = StepTimer()
+        profiling = bool(getattr(cfg, "profile", False))
+        trace_ctx = None  # device trace over a few post-compile steps
+        step_mfu = None
         evals = {}
         noisy_evals = {}
         noisy_samples = None
@@ -507,7 +527,7 @@ class SEGAN:
 
             batch_shard = batch_sharding(self.mesh)
         for epoch in range(start_epoch, cfg.epoch + 1):
-            beg_t = timeit.default_timer()
+            timer.start()
             for bidx, batch in enumerate(
                     device_prefetch(iter(dloader), sharding=batch_shard), start=1):
                 if epoch >= l1_dec_epoch and l1_weight > 0:
@@ -522,17 +542,38 @@ class SEGAN:
                     clean_samples = np.asarray(clean[:20])
                     if z is not None:
                         z_sample = np.asarray(z[:20])
-                end_t = timeit.default_timer()
-                timings.append(end_t - beg_t)
-                beg_t = timeit.default_timer()
+                if profiling:
+                    jax.block_until_ready(metrics)  # accurate per-step timing
+                timer.stop()
+                if profiling and epoch == start_epoch:
+                    # steps 1-2 include compilation; trace steps 3..7, then report
+                    # per-step MFU (flops from the compiled executable) + memory
+                    from ..utils.profiling import device_trace
+
+                    if bidx == 2:
+                        trace_ctx = device_trace(
+                            os.path.join(self.save_path, "profile"))
+                        trace_ctx.__enter__()
+                    elif bidx == 7 and trace_ctx is not None:
+                        trace_ctx.__exit__(None, None, None)
+                        trace_ctx = None
+                        print(f"[profile] device trace written to "
+                              f"{os.path.join(self.save_path, 'profile')}")
+                        print(f"[profile] memory: {device_memory_stats()}")
+                    if bidx >= 3 and step_mfu is None:
+                        n_chips = self.mesh.devices.size if self.mesh is not None else 1
+                        step_mfu = mfu(self.step_flops(), timer.last, n_chips)
+                timer.start()
                 if bidx % log_freq == 0 or bidx >= num_batches:
                     m = {k: float(v) for k, v in metrics.items()}
+                    mfu_str = (f", mfu: {100 * step_mfu:.1f}%"
+                               if step_mfu is not None else "")
                     print(
                         f"(Iter {iteration}) Batch {bidx}/{num_batches} (Epoch {epoch})"
                         f" d_real:{m['d_real']:.4f}, d_fake:{m['d_fake']:.4f},"
                         f" g_adv:{m['g_adv']:.4f}, g_l1:{m['g_l1']:.4f}"
-                        f" l1_w: {l1_weight:.2f}, btime: {timings[-1]:.4f} s,"
-                        f" mbtime: {np.mean(timings):.4f} s"
+                        f" l1_w: {l1_weight:.2f}, btime: {timer.last:.4f} s,"
+                        f" mbtime: {timer.mean:.4f} s{mfu_str}"
                     )
                     self.writer.scalar("D_real", m["d_real"], iteration)
                     self.writer.scalar("D_fake", m["d_fake"], iteration)
@@ -549,14 +590,20 @@ class SEGAN:
                 iteration += 1
 
             if va_dloader is not None:
+                # eval_max_samples: batches scored per epoch (1 = reference parity,
+                # model.py:469-484; 0 = full valset sweep — cheap on TPU and much
+                # less noisy for early stopping)
+                ems = int(getattr(cfg, "eval_max_samples", 1)) or len(va_dloader)
                 if len(noisy_evals) == 0:
                     evals_, noisy_evals_ = self.evaluate(cfg, va_dloader, log_freq,
-                                                         do_noisy=True)
+                                                         do_noisy=True,
+                                                         max_samples=ems)
                     for k, v in noisy_evals_.items():
                         noisy_evals.setdefault(k, []).extend(v)
                         self.writer.scalar(f"noisy-{k}", np.mean(v), epoch)
                 else:
-                    evals_ = self.evaluate(cfg, va_dloader, log_freq, do_noisy=False)
+                    evals_ = self.evaluate(cfg, va_dloader, log_freq, do_noisy=False,
+                                           max_samples=ems)
                 for k, v in evals_.items():
                     evals.setdefault(k, []).extend(v)
                     self.writer.scalar(f"Genh-{k}", np.mean(v), epoch)

@@ -131,6 +131,11 @@ class SEGANConfig:
     coordinator: Optional[str] = None
     num_processes: Optional[int] = None
     process_id: Optional[int] = None
+    # capture a device trace (save_path/profile) + log per-step MFU and memory stats
+    profile: bool = False
+    # validation batches scored per epoch; 1 = reference parity (model.py:469-484
+    # scores a single batch), 0 = sweep the full validation set
+    eval_max_samples: int = 1
 
     def __post_init__(self):
         if self.bias is None:

@@ -56,6 +56,56 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+# Peak dense-compute throughput per chip, FLOP/s, by PJRT device kind. Sources:
+# public TPU spec sheets (bf16 MXU peak); CPU entries deliberately absent — MFU is
+# only meaningful on accelerators.
+_PEAK_FLOPS_BY_KIND = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def peak_flops_per_chip() -> Optional[float]:
+    """Best-effort bf16 peak FLOP/s of the current chip (None when unknown/CPU)."""
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        return None
+    for name, peak in _PEAK_FLOPS_BY_KIND.items():
+        if kind.lower().startswith(name.lower()):
+            return peak
+    return None
+
+
+def compiled_flops(jitted_fn, *args, **kwargs) -> Optional[float]:
+    """FLOPs of one call of a jitted function, from XLA's compiled cost analysis.
+
+    Uses the AOT path (lower -> compile hits the jit cache when the function was
+    already executed with these shapes), so this is free after the first step."""
+    try:
+        compiled = jitted_fn.lower(*args, **kwargs).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def mfu(flops_per_step: Optional[float], step_seconds: float,
+        n_chips: int = 1) -> Optional[float]:
+    """Model FLOPs utilization in [0, 1]: achieved FLOP/s over chip peak."""
+    peak = peak_flops_per_chip()
+    if not flops_per_step or not peak or step_seconds <= 0:
+        return None
+    return flops_per_step / step_seconds / (peak * max(n_chips, 1))
+
+
 def device_memory_stats() -> dict:
     """Per-device memory usage (bytes), when the backend exposes it."""
     out = {}

@@ -96,6 +96,12 @@ def build_parser():
     parser.add_argument('--compute_dtype', type=str, default='float32',
                         help='float32 | bfloat16 network compute dtype.')
     parser.add_argument('--use_pallas', action='store_true', default=False)
+    parser.add_argument('--profile', action='store_true', default=False,
+                        help='Capture a device trace into save_path/profile and '
+                             'log per-step MFU + device memory stats.')
+    parser.add_argument('--eval_max_samples', type=int, default=1,
+                        help='Validation batches scored per epoch '
+                             '(1 = reference parity, 0 = full valset sweep).')
     parser.add_argument('--resume', action='store_true', default=False,
                         help='Resume from the latest EOE checkpoints in save_path.')
     # multi-host bring-up (jax.distributed); no-ops for single process
