@@ -1,0 +1,574 @@
+// pesq862.cpp — native implementation of the ITU-T P.862 (PESQ) pipeline.
+//
+// Replaces the reference's external `pesqmain` C binary dependency
+// (ref segan/utils.py:318-347 shells out and parses stdout) with an in-process
+// C++ implementation exposed over a C ABI (ctypes on the Python side).
+//
+// Pipeline implemented (P.862 main path, plus the P.862.2 wideband mode the
+// reference always uses — `pesqmain ref deg +16000 +wb`):
+//   1. level alignment of both signals to a fixed target power (>200 Hz band)
+//   2. input filtering: P.862.2 wideband IIR (ITU coefficients) or an
+//      IRS-receive-approximation FIR for narrowband mode
+//   3. crude whole-signal + per-utterance delay estimation via log-energy
+//      cross-correlation at 4 ms resolution, refined to sample resolution
+//      (NOTE: the ITU iterative utterance-splitting realignment is not
+//      implemented — enhancement pairs have constant delay; see PESQ.md)
+//   4. perceptual model: 50%-overlap Hann frames, Bark-band pitch power
+//      densities, per-band frequency compensation, per-frame gain
+//      compensation, Zwicker loudness transform, masking deadzone,
+//      asymmetric + symmetric disturbance, L6-over-split-second / L2-over-time
+//      aggregation with low-energy frame weighting
+//   5. raw score 4.5 - 0.1*D - 0.0309*DA; MOS-LQO mapping per P.862.1 (nb)
+//      or P.862.2 (wb)
+//
+// Table provenance (IMPORTANT): the ITU reference tables (pesqpar.h) are not
+// available in this offline environment.  The Bark band layout and absolute
+// hearing thresholds are REGENERATED from the published formulas the tables
+// were built from (7*asinh(f/650) Bark warp over the 31.25 Hz FFT bin grid;
+// Terhardt's absolute-threshold approximation); the wideband input IIR and the
+// Sp/Sl calibration constants follow the published ITU values.  This makes the
+// implementation P.862-faithful in structure but NOT bit-certified; validate
+// against `pesqmain` with tools/pesq_validate.py whenever a binary is
+// available (writes golden vectors consumed by tests/test_pesq_native.py).
+
+#include <algorithm>
+#include <cmath>
+#include <complex>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr double KPI = 3.14159265358979323846;
+
+// ---------------------------------------------------------------------------
+// FFT (iterative radix-2, double precision)
+// ---------------------------------------------------------------------------
+void fft_inplace(std::vector<std::complex<double>>& a, bool inverse) {
+  const size_t n = a.size();
+  for (size_t i = 1, j = 0; i < n; i++) {
+    size_t bit = n >> 1;
+    for (; j & bit; bit >>= 1) j ^= bit;
+    j ^= bit;
+    if (i < j) std::swap(a[i], a[j]);
+  }
+  for (size_t len = 2; len <= n; len <<= 1) {
+    const double ang = 2 * KPI / double(len) * (inverse ? 1 : -1);
+    const std::complex<double> wl(std::cos(ang), std::sin(ang));
+    for (size_t i = 0; i < n; i += len) {
+      std::complex<double> w(1.0, 0.0);
+      for (size_t j2 = 0; j2 < len / 2; j2++) {
+        std::complex<double> u = a[i + j2];
+        std::complex<double> v = a[i + j2 + len / 2] * w;
+        a[i + j2] = u + v;
+        a[i + j2 + len / 2] = u - v;
+        w *= wl;
+      }
+    }
+  }
+  if (inverse)
+    for (auto& x : a) x /= double(n);
+}
+
+size_t next_pow2(size_t n) {
+  size_t p = 1;
+  while (p < n) p <<= 1;
+  return p;
+}
+
+// cross-correlation of x (len nx) against y (len ny) via FFT; returns c where
+// c[k] = sum_i x[i] * y[i + k - (nx-1)], k in [0, nx+ny-1)  (full xcorr)
+std::vector<double> xcorr(const std::vector<double>& x, const std::vector<double>& y) {
+  const size_t n = next_pow2(x.size() + y.size());
+  std::vector<std::complex<double>> fx(n), fy(n);
+  for (size_t i = 0; i < x.size(); i++) fx[x.size() - 1 - i] = x[i];  // reversed
+  for (size_t i = 0; i < y.size(); i++) fy[i] = y[i];
+  fft_inplace(fx, false);
+  fft_inplace(fy, false);
+  for (size_t i = 0; i < n; i++) fx[i] *= fy[i];
+  fft_inplace(fx, true);
+  std::vector<double> c(x.size() + y.size() - 1);
+  for (size_t i = 0; i < c.size(); i++) c[i] = fx[i].real();
+  return c;
+}
+
+// ---------------------------------------------------------------------------
+// Bark band tables, regenerated from the published formulas (see header note)
+// ---------------------------------------------------------------------------
+struct BarkTables {
+  int Nb = 0;
+  std::vector<int> first_bin;       // first FFT bin of each band
+  std::vector<int> bins_per_band;   // number of FFT bins in each band
+  std::vector<double> centre_hz;    // band centre in Hz
+  std::vector<double> width_bark;   // band width in Bark (aggregation weights)
+  std::vector<double> abs_thresh;   // absolute hearing threshold (power units)
+  double Sp = 0, Sl = 0;            // power / loudness calibration
+  int Nf = 0, Nb_fft = 0;
+};
+
+double hz_to_bark(double f) { return 7.0 * std::asinh(f / 650.0); }
+
+// Terhardt 1979 absolute-threshold-in-quiet approximation, dB SPL
+double abs_thresh_db(double f_hz) {
+  const double khz = std::max(f_hz, 20.0) / 1000.0;
+  return 3.64 * std::pow(khz, -0.8)
+       - 6.5 * std::exp(-0.6 * (khz - 3.3) * (khz - 3.3))
+       + 1e-3 * std::pow(khz, 4.0);
+}
+
+BarkTables build_tables(int fs, bool wb) {
+  BarkTables t;
+  t.Nf = (fs == 16000) ? 512 : 256;       // 32 ms windows
+  t.Nb_fft = t.Nf / 2;                    // 31.25 Hz bins at both rates
+  t.Nb = (fs == 16000) ? 49 : 42;         // ITU band counts
+  // ITU calibration constants (pesqpar.h): Sp (power), Sl (loudness)
+  t.Sp = (fs == 16000) ? 6.910853e-006 : 2.764344e-5;
+  t.Sl = 1.866055e-1;
+  const double bin_hz = double(fs) / double(t.Nf);
+  // Band edges uniform in Bark from the first bin centre to the band limit
+  // (P.862 analyses slightly below Nyquist; use 0.5*fs*(Nb_fft-1)/Nb_fft).
+  const double f_lo = 0.5 * bin_hz;                       // centre of bin 0
+  const double f_hi = bin_hz * (t.Nb_fft - 1);
+  const double z_lo = hz_to_bark(f_lo), z_hi = hz_to_bark(f_hi);
+  const double dz = (z_hi - z_lo) / t.Nb;
+  std::vector<double> edge_hz(t.Nb + 1);
+  for (int i = 0; i <= t.Nb; i++)
+    edge_hz[i] = 650.0 * std::sinh((z_lo + dz * i) / 7.0);
+  // Assign each FFT bin (by centre) to a band; guarantee >= 1 bin per band by
+  // construction of the warp at this resolution (low bands are 1 bin wide).
+  t.first_bin.assign(t.Nb, -1);
+  t.bins_per_band.assign(t.Nb, 0);
+  int band = 0;
+  for (int k = 1; k < t.Nb_fft && band < t.Nb; k++) {  // skip DC bin
+    const double fc = k * bin_hz;
+    while (band < t.Nb && fc > edge_hz[band + 1]) band++;
+    if (band >= t.Nb) break;
+    if (t.first_bin[band] < 0) t.first_bin[band] = k;
+    t.bins_per_band[band]++;
+  }
+  // collapse any empty leading/trailing bands (cannot occur at these configs,
+  // but keep the table well-formed)
+  t.centre_hz.assign(t.Nb, 0.0);
+  t.width_bark.assign(t.Nb, dz);
+  t.abs_thresh.assign(t.Nb, 0.0);
+  for (int i = 0; i < t.Nb; i++) {
+    if (t.bins_per_band[i] == 0) {  // give it the nearest bin
+      t.first_bin[i] = (i > 0) ? t.first_bin[i - 1] + t.bins_per_band[i - 1] - 1 : 1;
+      t.bins_per_band[i] = 1;
+    }
+    const double f0 = t.first_bin[i] * bin_hz;
+    const double f1 = (t.first_bin[i] + t.bins_per_band[i] - 1) * bin_hz;
+    t.centre_hz[i] = 0.5 * (f0 + f1);
+    // thresholds in the pitch-power-density domain: dB SPL -> power with the
+    // P.862 convention that 0 dB SPL ~ intensity 1e4 in calibrated units
+    t.abs_thresh[i] = std::pow(10.0, (abs_thresh_db(t.centre_hz[i])) / 10.0) * 1e4;
+  }
+  (void)wb;
+  return t;
+}
+
+// ---------------------------------------------------------------------------
+// filters
+// ---------------------------------------------------------------------------
+// P.862.2 wideband input IIR (ITU pesqpar.h WB_InIIR_Hsos): one biquad
+void wb_input_filter(std::vector<double>& x, int fs) {
+  double b0, b1, b2, a1, a2;
+  if (fs == 16000) {
+    b0 = 2.6657628; b1 = -5.3315255; b2 = 2.6657628;
+    a1 = -1.8890331; a2 = 0.89487458;
+  } else {
+    b0 = 2.740826; b1 = -5.4816519; b2 = 2.740826;
+    a1 = -1.9444777; a2 = 0.94597794;
+  }
+  double w1 = 0, w2 = 0;
+  for (auto& s : x) {
+    const double w0 = s - a1 * w1 - a2 * w2;
+    s = b0 * w0 + b1 * w1 + b2 * w2;
+    w2 = w1;
+    w1 = w0;
+  }
+}
+
+// Narrowband mode: IRS-receive approximation as an FFT-domain magnitude shape
+// (the ITU tabled 12-section IIR cascade is unavailable offline; the IRS
+// receive characteristic per P.48 is a documented curve). Piecewise-log-linear
+// gain anchors (Hz, dB):
+void irs_receive_filter(std::vector<double>& x, int fs) {
+  static const double anchors[][2] = {
+      {0, -200}, {50, -40}, {100, -20}, {125, -12}, {160, -6}, {200, 0},
+      {250, 4},  {300, 6},  {350, 8},   {400, 10},  {500, 11}, {600, 12},
+      {700, 12}, {800, 12}, {1000, 12}, {1300, 12}, {1600, 12}, {2000, 12},
+      {2500, 12}, {3000, 12}, {3250, 12}, {3500, 4}, {4000, -200},
+      {5000, -200}, {8000, -200}};
+  const size_t n = x.size();
+  const size_t nfft = next_pow2(n);
+  std::vector<std::complex<double>> X(nfft);
+  for (size_t i = 0; i < n; i++) X[i] = x[i];
+  fft_inplace(X, false);
+  const int na = sizeof(anchors) / sizeof(anchors[0]);
+  for (size_t k = 0; k <= nfft / 2; k++) {
+    const double f = double(k) * fs / double(nfft);
+    double gdb = anchors[na - 1][1];
+    for (int i = 0; i < na - 1; i++) {
+      if (f >= anchors[i][0] && f <= anchors[i + 1][0]) {
+        const double t = (f - anchors[i][0]) /
+                         std::max(anchors[i + 1][0] - anchors[i][0], 1.0);
+        gdb = anchors[i][1] + t * (anchors[i + 1][1] - anchors[i][1]);
+        break;
+      }
+    }
+    const double g = std::pow(10.0, gdb / 20.0);
+    X[k] *= g;
+    if (k > 0 && k < nfft / 2) X[nfft - k] *= g;
+  }
+  fft_inplace(X, true);
+  for (size_t i = 0; i < n; i++) x[i] = X[i].real();
+}
+
+// power of the signal restricted to >200 Hz (level alignment band), FFT domain
+double band_power_above(const std::vector<double>& x, int fs, double f_lo) {
+  const size_t n = x.size();
+  const size_t nfft = next_pow2(n);
+  std::vector<std::complex<double>> X(nfft);
+  for (size_t i = 0; i < n; i++) X[i] = x[i];
+  fft_inplace(X, false);
+  double p = 0;
+  for (size_t k = 1; k <= nfft / 2; k++) {
+    const double f = double(k) * fs / double(nfft);
+    if (f >= f_lo) p += std::norm(X[k]) * (k == nfft / 2 ? 1.0 : 2.0);
+  }
+  return p / (double(nfft) * double(n));
+}
+
+// ---------------------------------------------------------------------------
+// alignment helpers (4 ms log-energy profiles)
+// ---------------------------------------------------------------------------
+std::vector<double> energy_profile(const std::vector<double>& x, int block) {
+  const size_t nb = x.size() / block;
+  std::vector<double> e(nb);
+  for (size_t i = 0; i < nb; i++) {
+    double s = 0;
+    for (int j = 0; j < block; j++) s += std::fabs(x[i * block + j]);
+    e[i] = s;
+  }
+  // threshold + log as in the ITU crude align: emphasize speech structure
+  double mx = 0;
+  for (double v : e) mx = std::max(mx, v);
+  const double thr = mx * 1e-2;
+  for (auto& v : e) v = (v > thr) ? std::log(v / thr) : 0.0;
+  return e;
+}
+
+long crude_delay_blocks(const std::vector<double>& ref, const std::vector<double>& deg,
+                        int block) {
+  auto er = energy_profile(ref, block);
+  auto ed = energy_profile(deg, block);
+  if (er.empty() || ed.empty()) return 0;
+  auto c = xcorr(er, ed);
+  size_t best = 0;
+  for (size_t i = 1; i < c.size(); i++)
+    if (c[i] > c[best]) best = i;
+  return long(best) - long(er.size() - 1);  // deg = ref delayed by this many blocks
+}
+
+long refine_delay_samples(const std::vector<double>& ref, const std::vector<double>& deg,
+                          long crude, int span) {
+  // sample-resolution refinement of the crude (block-resolution) delay by
+  // direct cross-correlation over +-span samples; two-stage (stride 4, then
+  // exact) to keep the wide window cheap. The window must absorb multi-block
+  // crude errors — the log-energy profile of the HP-filtered signal can skew
+  // the crude peak by a couple of blocks.
+  const long n = long(ref.size());
+  auto score = [&](long d) {
+    double s = 0;
+    const long lo = std::max(0L, -d), hi = std::min(n, long(deg.size()) - d);
+    for (long i = lo; i < hi; i++) s += ref[i] * deg[i + d];
+    return s;
+  };
+  double best_v = -1e300;
+  long best_d = crude;
+  for (long d = crude - span; d <= crude + span; d += 4) {
+    const double s = score(d);
+    if (s > best_v) {
+      best_v = s;
+      best_d = d;
+    }
+  }
+  long centre = best_d;
+  for (long d = centre - 4; d <= centre + 4; d++) {
+    const double s = score(d);
+    if (s > best_v) {
+      best_v = s;
+      best_d = d;
+    }
+  }
+  return best_d;
+}
+
+// ---------------------------------------------------------------------------
+// perceptual model
+// ---------------------------------------------------------------------------
+struct FrameSpectra {
+  std::vector<std::vector<double>> pitch_pow;  // [frame][band]
+  std::vector<double> total_audible;           // per frame, > absolute threshold
+  std::vector<double> frame_energy;            // raw frame power (silence mask)
+};
+
+FrameSpectra pitch_power_density(const std::vector<double>& x, const BarkTables& t) {
+  FrameSpectra out;
+  const int Nf = t.Nf, hop = t.Nf / 2;
+  const long n_frames = (long(x.size()) - Nf) / hop + 1;
+  if (n_frames <= 0) return out;
+  std::vector<double> win(Nf);
+  for (int i = 0; i < Nf; i++)
+    win[i] = 0.5 * (1.0 - std::cos(2.0 * KPI * i / (Nf - 1)));
+  out.pitch_pow.assign(n_frames, std::vector<double>(t.Nb, 0.0));
+  out.total_audible.assign(n_frames, 0.0);
+  out.frame_energy.assign(n_frames, 0.0);
+  std::vector<std::complex<double>> buf(Nf);
+  for (long f = 0; f < n_frames; f++) {
+    double fe = 0;
+    for (int i = 0; i < Nf; i++) {
+      const double v = x[f * hop + i];
+      fe += v * v;
+      buf[i] = v * win[i];
+    }
+    out.frame_energy[f] = fe / Nf;
+    fft_inplace(buf, false);
+    auto& bands = out.pitch_pow[f];
+    double audible = 0;
+    for (int b = 0; b < t.Nb; b++) {
+      double p = 0;
+      for (int k = 0; k < t.bins_per_band[b]; k++)
+        p += std::norm(buf[t.first_bin[b] + k]);
+      p = p / t.bins_per_band[b] * t.Sp * double(t.Nf);
+      bands[b] = p;
+      if (p > t.abs_thresh[b]) audible += p;
+    }
+    out.total_audible[f] = audible;
+  }
+  return out;
+}
+
+double zwicker_loudness(double p, double thresh, double Sl) {
+  // Zwicker law with the P.862 form: Sl*(t/0.5)^0.23 * [(0.5+0.5*p/t)^0.23 - 1]
+  constexpr double g = 0.23;
+  if (p <= 0) return 0.0;
+  const double v = Sl * std::pow(thresh / 0.5, g) *
+                   (std::pow(0.5 + 0.5 * p / thresh, g) - 1.0);
+  return (v > 0) ? v : 0.0;
+}
+
+// pseudo-Lp over bands with Bark-width weights: (sum_b (|d_b| * W_b)^p)^(1/p)
+double band_norm(const std::vector<double>& d, const BarkTables& t, double p) {
+  double acc = 0;
+  for (int b = 0; b < t.Nb; b++)
+    acc += std::pow(std::fabs(d[b]) * t.width_bark[b], p);
+  return std::pow(acc, 1.0 / p);
+}
+
+// L_p2 over split-second intervals of L_p1 within (ITU Lpq_weight: p1=6, p2=2)
+double lpq_weight(const std::vector<double>& frame_d, const std::vector<double>& weight,
+                  double p1, double p2, int split) {
+  const long n = long(frame_d.size());
+  double acc2 = 0, n2 = 0;
+  for (long s = 0; s < n; s += split / 2) {  // 50% overlapping split-seconds
+    double acc1 = 0, n1 = 0;
+    for (long i = s; i < std::min(n, s + split); i++) {
+      acc1 += std::pow(frame_d[i] * weight[i], p1);
+      n1 += weight[i];
+    }
+    if (n1 <= 0) continue;
+    const double v = std::pow(acc1 / n1, 1.0 / p1);
+    acc2 += std::pow(v, p2);
+    n2 += 1;
+  }
+  if (n2 <= 0) return 0;
+  return std::pow(acc2 / n2, 1.0 / p2);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Main entry. ref/deg: float waveforms in [-1, 1] (any common scale — level is
+// realigned internally). fs: 8000 or 16000. wb: 1 = P.862.2 wideband (the mode
+// the reference uses), 0 = narrowband. Returns MOS-LQO; raw P.862 score in
+// *raw_out when non-null. Returns NaN on invalid input.
+double pesq862(const float* ref, long nref, const float* deg, long ndeg,
+               int fs, int wb, double* raw_out) {
+  if (!ref || !deg || nref < fs / 4 || ndeg < fs / 4 ||
+      (fs != 8000 && fs != 16000))
+    return std::nan("");
+  const BarkTables t = build_tables(fs, wb != 0);
+  const int block4ms = fs / 250;
+
+  std::vector<double> r(ref, ref + nref), d(deg, deg + ndeg);
+
+  // --- stage 1: level alignment to fixed target power in the >200 Hz band ---
+  constexpr double TARGET_POW = 1e7;  // ITU fixed internal level
+  const double pr = band_power_above(r, fs, 200.0);
+  const double pd = band_power_above(d, fs, 200.0);
+  if (pr <= 0 || pd <= 0) return std::nan("");
+  const double gr = std::sqrt(TARGET_POW / pr), gd = std::sqrt(TARGET_POW / pd);
+  for (auto& v : r) v *= gr;  // both signals now at the fixed internal level
+  for (auto& v : d) v *= gd;
+
+  // --- stage 2: input filter ---
+  if (wb) {
+    wb_input_filter(r, fs);
+    wb_input_filter(d, fs);
+  } else {
+    irs_receive_filter(r, fs);
+    irs_receive_filter(d, fs);
+  }
+
+  // --- stage 3: delay estimation (crude blocks -> sample refinement) ---
+  const long crude_b = crude_delay_blocks(r, d, block4ms);
+  const long delay =
+      refine_delay_samples(r, d, crude_b * block4ms, 4 * block4ms);
+  if (std::getenv("PESQ862_DEBUG"))
+    std::fprintf(stderr, "[pesq dbg] crude=%ld blocks, refined delay=%ld samples\n",
+                 crude_b, delay);
+  // apply: drop 'delay' leading samples from the later signal
+  if (delay > 0) {
+    d.erase(d.begin(), d.begin() + std::min(delay, long(d.size())));
+  } else if (delay < 0) {
+    r.erase(r.begin(), r.begin() + std::min(-delay, long(r.size())));
+  }
+  const size_t L = std::min(r.size(), d.size());
+  r.resize(L);
+  d.resize(L);
+  if (long(L) < t.Nf * 2) return std::nan("");
+
+  // --- stage 4: perceptual model ---
+  FrameSpectra R = pitch_power_density(r, t);
+  FrameSpectra D = pitch_power_density(d, t);
+  const long n_frames = long(R.pitch_pow.size());
+  if (n_frames < 2) return std::nan("");
+
+  // silence criterion for the compensation averages (ITU: frames where the
+  // reference is audible)
+  double crit = 0;
+  for (long f = 0; f < n_frames; f++) crit = std::max(crit, R.total_audible[f]);
+  crit *= 1e-4;
+
+  // frequency compensation: per-band average over speech-active frames,
+  // partial factor ((avg_deg+1000)/(avg_ref+1000))^0.2 applied to the REF,
+  // clamped to [0.01, 100]   (ITU freq_resp_compensation)
+  std::vector<double> avg_r(t.Nb, 0.0), avg_d(t.Nb, 0.0);
+  double n_act = 0;
+  for (long f = 0; f < n_frames; f++) {
+    if (R.total_audible[f] < crit) continue;
+    n_act += 1;
+    for (int b = 0; b < t.Nb; b++) {
+      avg_r[b] += R.pitch_pow[f][b];
+      avg_d[b] += D.pitch_pow[f][b];
+    }
+  }
+  std::vector<double> freq_comp(t.Nb, 1.0);
+  if (n_act > 0) {
+    for (int b = 0; b < t.Nb; b++) {
+      double c = (avg_d[b] / n_act + 1000.0) / (avg_r[b] / n_act + 1000.0);
+      c = std::pow(c, 0.2);
+      freq_comp[b] = std::min(100.0, std::max(0.01, c));
+    }
+  }
+
+  // main frame loop
+  std::vector<double> frame_sym(n_frames, 0.0), frame_asym(n_frames, 0.0);
+  std::vector<double> frame_weight(n_frames, 1.0);
+  double prev_gain = 1.0;
+  std::vector<double> loud_r(t.Nb), loud_d(t.Nb), dist(t.Nb), dist_a(t.Nb);
+  for (long f = 0; f < n_frames; f++) {
+    // per-frame gain compensation (ITU intensity_warping gain): smoothed ratio
+    // of audible powers, clamped to [3e-4, 5], applied to the degraded frame
+    const double g_now = (R.total_audible[f] + 5e3) / (D.total_audible[f] + 5e3);
+    double gain = 0.8 * prev_gain + 0.2 * g_now;
+    gain = std::min(5.0, std::max(3e-4, gain));
+    prev_gain = gain;
+
+    double min_total_loud = 0;
+    for (int b = 0; b < t.Nb; b++) {
+      const double pr_b = R.pitch_pow[f][b] * freq_comp[b];
+      const double pd_b = D.pitch_pow[f][b] * gain;
+      loud_r[b] = zwicker_loudness(pr_b, t.abs_thresh[b], t.Sl);
+      loud_d[b] = zwicker_loudness(pd_b, t.abs_thresh[b], t.Sl);
+      double dd = loud_d[b] - loud_r[b];
+      // masking deadzone: 0.25*min of the two loudnesses
+      const double m = 0.25 * std::min(loud_d[b], loud_r[b]);
+      if (dd > m)
+        dd -= m;
+      else if (dd < -m)
+        dd += m;
+      else
+        dd = 0.0;
+      dist[b] = dd;
+      // asymmetry factor from the power-density ratio
+      double ratio = (D.pitch_pow[f][b] + 50.0) / (R.pitch_pow[f][b] + 50.0);
+      double h = std::pow(ratio, 1.2);
+      if (h < 3.0) h = 0.0;
+      if (h > 12.0) h = 12.0;
+      dist_a[b] = dd * h;
+      min_total_loud += std::min(loud_d[b], loud_r[b]) * t.width_bark[b];
+    }
+    (void)min_total_loud;
+    double ds = band_norm(dist, t, 2.0);   // symmetric: L2 over bands
+    double da = band_norm(dist_a, t, 1.0); // asymmetric: L1 over bands
+    // low-energy frames count less (ITU: /((total_power_ref+1e5)/1e7)^0.04)
+    const double w = std::pow((R.total_audible[f] + 1e5) / 1e7, 0.04);
+    ds /= w;
+    da /= w;
+    frame_sym[f] = std::min(ds, 45.0);
+    frame_asym[f] = std::min(da, 45.0);
+  }
+
+  if (std::getenv("PESQ862_DEBUG")) {
+    double ta = 0, ls = 0, la = 0, fs_m = 0, fa_m = 0;
+    double lr_max = 0, ab_min = 1e300, ab_max = 0;
+    for (long f = 0; f < n_frames; f++) {
+      ta += R.total_audible[f];
+      fs_m += frame_sym[f];
+      fa_m += frame_asym[f];
+    }
+    for (int b = 0; b < t.Nb; b++) {
+      ab_min = std::min(ab_min, t.abs_thresh[b]);
+      ab_max = std::max(ab_max, t.abs_thresh[b]);
+    }
+    (void)ls; (void)la; (void)lr_max;
+    std::fprintf(stderr,
+                 "[pesq dbg] frames=%ld mean_audible=%.3e mean_fsym=%.3f "
+                 "mean_fasym=%.3f thresh=[%.3e, %.3e] crit=%.3e\n",
+                 n_frames, ta / n_frames, fs_m / n_frames, fa_m / n_frames,
+                 ab_min, ab_max, crit);
+  }
+
+  // --- stage 5: aggregation + mapping ---
+  // split-second = 20 frames (~320 ms at 16 ms hop), L6 within / L2 across
+  std::vector<double> ones(n_frames, 1.0);
+  const double d_sym = lpq_weight(frame_sym, ones, 6.0, 2.0, 20);
+  const double d_asym = lpq_weight(frame_asym, ones, 6.0, 2.0, 20);
+
+  double raw = 4.5 - 0.1 * d_sym - 0.0309 * d_asym;
+  if (raw < -0.5) raw = -0.5;
+  if (raw > 4.5) raw = 4.5;
+  if (raw_out) *raw_out = raw;
+  // output mappings: P.862.1 (narrowband) / P.862.2 (wideband) logistic
+  double mos;
+  if (wb)
+    mos = 0.999 + 4.0 / (1.0 + std::exp(-1.3669 * raw + 3.8224));
+  else
+    mos = 0.999 + 4.0 / (1.0 + std::exp(-1.4945 * raw + 4.6607));
+  return mos;
+}
+
+// version/provenance marker for the Python side
+const char* pesq862_provenance() {
+  return "p862-structure-native; tables regenerated from published formulas; "
+         "NOT ITU-certified — validate with tools/pesq_validate.py";
+}
+
+}  // extern "C"

@@ -64,12 +64,17 @@ def _pesq_python(ref_wav: np.ndarray, deg_wav: np.ndarray, sr: int = 16000) -> O
 
 
 def PESQ(ref_wav: np.ndarray, deg_wav: np.ndarray, sr: int = 16000) -> Optional[float]:
-    """Backend order: ITU `pesqmain` binary (reference parity) → python `pesq` package →
-    P.862-structured approximation (metrics/perceptual.py, enabled via
-    SEGAN_TPU_PESQ=approx or as the last resort for early stopping) → None (-1)."""
+    """Backend order: ITU `pesqmain` binary (certified, reference parity) → python
+    `pesq` package (certified) → native C++ P.862 pipeline
+    (metrics/pesq_native.py — full algorithm structure, regenerated tables, NOT
+    ITU-certified) → spectral approximation (metrics/perceptual.py) → None (-1).
+
+    SEGAN_TPU_PESQ selects: auto (the chain above) | strict (certified backends
+    only, else None) | native (force the C++ pipeline) | approx (force the
+    spectral approximation)."""
     global _WARNED
     mode = os.environ.get("SEGAN_TPU_PESQ", "auto")
-    if mode != "approx":
+    if mode not in ("approx", "native"):
         if shutil.which("pesqmain") is not None:
             v = _pesq_binary(ref_wav, deg_wav, sr)
             if v is not None:
@@ -83,6 +88,18 @@ def PESQ(ref_wav: np.ndarray, deg_wav: np.ndarray, sr: int = 16000) -> Optional[
                       "(PESQ will read as -1)")
                 _WARNED = True
             return None
+    if mode != "approx":
+        from .pesq_native import pesq_native
+
+        v = pesq_native(ref_wav, deg_wav, sr, wb=True)
+        if v is not None:
+            if not _WARNED:
+                print("[PESQ] using the native P.862 pipeline (no certified "
+                      "pesqmain/python-pesq backend found) — full-algorithm "
+                      "scores on the MOS-LQO scale, but NOT ITU-certified; see "
+                      "tools/pesq_validate.py")
+                _WARNED = True
+            return v
     from .perceptual import pesq_like
 
     if not _WARNED:

@@ -209,7 +209,7 @@ class ConvTranspose1d(nn.Module):
         if self.use_bias:
             b_init = self.b_init or init.torch_default_bias(self.out_ch * self.kwidth)
             b = self.param("bias", b_init, (self.out_ch,))
-        return conv_ops.conv_transpose1d(
+        return conv_ops.conv_transpose1d_auto(
             x, w.astype(x.dtype), b, stride=self.stride, padding=self.padding
         )
 

@@ -107,6 +107,32 @@ def conv_transpose1d(
     return y
 
 
+def conv_transpose1d_auto(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    stride: int = 4,
+    padding: int = 0,
+    precision=DEFAULT_PRECISION,
+) -> jax.Array:
+    """Dispatch between the two mathematically-identical transposed-conv lowerings.
+
+    'dilated' (default): single lhs-dilated conv — XLA's TPU lowering handles the
+    zero-stuffing efficiently, and this measured FASTER in the full train step
+    (2410 vs 1627 slices/s/chip, BENCH.md r2) than 'phased'
+    (SEGAN_TPU_DECONV=phased): polyphase decomposition into `stride` dense VALID
+    convs + interleave, whose stack/reshape relayouts dominate on TPU.
+    """
+    import os
+
+    impl = os.environ.get("SEGAN_TPU_DECONV", "dilated")
+    if impl == "dilated" or stride == 1:
+        return conv_transpose1d(x, kernel, bias, stride=stride, padding=padding,
+                                precision=precision)
+    return conv_transpose1d_phased(x, kernel, bias, stride=stride, padding=padding,
+                                   precision=precision)
+
+
 def conv_transpose1d_phased(
     x: jax.Array,
     kernel: jax.Array,
@@ -155,5 +181,5 @@ def conv_transpose1d_phased(
     end = (L - 1) * s + K - padding
     y = y_full[:, padding:end, :]
     if bias is not None:
-        y = y + bias
+        y = y + bias.astype(y.dtype)
     return y
