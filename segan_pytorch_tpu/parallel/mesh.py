@@ -24,6 +24,13 @@ def initialize_distributed(coordinator: Optional[str] = None,
     """Multi-host bring-up via jax.distributed (no-op when single-process)."""
     if num_processes is None or num_processes <= 1:
         return
+    try:
+        # CPU multi-process collectives need the gloo backend (no-op for TPU,
+        # where collectives ride ICI/DCN natively); enables the 2-process
+        # localhost smoke in tests/test_multihost.py
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,

@@ -1,7 +1,14 @@
-"""Sharding helpers: batch on the 'data' axis, params replicated."""
+"""Sharding helpers: batch on the 'data' axis, params replicated.
+
+Multi-process (multi-host) support: when jax.process_count() > 1, host arrays
+are assembled into global arrays with jax.make_array_from_process_local_data —
+each process contributes its LOCAL portion (its data loader's shard for the
+batch; the full value for replicated params, identical across processes since
+all hosts seed identically)."""
 from __future__ import annotations
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -16,10 +23,22 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree of arrays across the mesh."""
     s = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+            tree)
     return jax.device_put(tree, s)
 
 
 def shard_batch(batch_tree, mesh: Mesh):
-    """Shard leading (batch) axis of every array leaf across the 'data' axis."""
+    """Shard leading (batch) axis of every array leaf across the 'data' axis.
+
+    Single-process: leaves are the full (global) batch.  Multi-process: each
+    process passes its LOCAL batch shard and the global array is assembled
+    across hosts (global batch = local batch x process_count)."""
     s = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+            batch_tree)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch_tree)

@@ -26,3 +26,16 @@ except Exception:
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
+
+# Share a persistent compilation cache across the whole suite (and with the CLI
+# subprocess tests, which inherit SEGAN_TPU_COMPILE_CACHE via the environment):
+# tests/test_cli.py recompiles the same tiny models per subprocess otherwise.
+_cache_dir = os.environ.setdefault("SEGAN_TPU_COMPILE_CACHE",
+                                   "/tmp/segan_tpu_xla_cache_tests")
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass
