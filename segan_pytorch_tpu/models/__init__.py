@@ -16,6 +16,7 @@ from .modules import (  # noqa: F401
     pos_code,
 )
 from .generator import Generator, GSkip  # noqa: F401
+from .generator1d import Generator1D, GBlock1D  # noqa: F401
 from .discriminator import Discriminator  # noqa: F401
 from .segan import SEGAN  # noqa: F401
 from .wsegan import WSEGAN, AEWSEGAN  # noqa: F401
