@@ -81,19 +81,21 @@ def main():
     jax.block_until_ready((clean, noisy))
     key = jax.random.PRNGKey(0)
 
-    # warmup (compile)
+    # warmup (compile).  NB: completion is forced with a D2H scalar fetch, NOT
+    # jax.block_until_ready — the latter can return before execution finishes on the
+    # remote 'axon' tunnel platform, silently inflating throughput.
     metrics = None
     for i in range(args.warmup):
         key, k = jax.random.split(key)
         metrics, _, _ = segan.train_step(clean, noisy, mask, k, 100.0)
     if metrics is not None:
-        jax.block_until_ready(metrics)
+        float(metrics["d_real"])
 
     t0 = time.perf_counter()
     for i in range(args.steps):
         key, k = jax.random.split(key)
         metrics, _, _ = segan.train_step(clean, noisy, mask, k, 100.0)
-    jax.block_until_ready(metrics)
+    float(metrics["d_real"])  # forces the whole dependent step chain
     dt = time.perf_counter() - t0
 
     steps_per_sec = args.steps / dt

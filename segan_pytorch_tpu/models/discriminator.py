@@ -12,6 +12,7 @@ import flax.linen as nn
 
 from .modules import GConv1DBlock, Conv1d, Linear, PReLU, SincConv
 from ..ops import initializers as init
+from ..ops.roll import phase_shift_roll
 
 
 class Discriminator(nn.Module):
@@ -39,7 +40,12 @@ class Discriminator(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False, mask=None):
+    def __call__(self, x, train: bool = False, mask=None, stats_groups: int = 1):
+        """stats_groups > 1: x is a stack of G sub-batches judged in ONE pass (the
+        fused real/fake D apply).  Each group gets its own BatchNorm statistics and
+        its own per-layer phase draw — group g draws from the rng stream 'phase' (g=0)
+        / 'phase{g+1}' (g>0) — so the result is bit-identical to G sequential applies
+        with those streams (see models/segan.py:d_loss_fn)."""
         if self.pool_slen is None:
             raise ValueError(
                 "Please specify D network pool seq len (pool_slen) in the end "
@@ -63,12 +69,24 @@ class Discriminator(nn.Module):
         use_phase = self.phase_shift is not None and self.has_rng("phase")
         for ii, (fmap, pool) in enumerate(zip(fmaps, self.poolings)):
             if use_phase:
-                key = self.make_rng("phase")
-                k_shift, k_dir = jax.random.split(key)
-                shift = jax.random.randint(k_shift, (), 1, self.phase_shift + 1)
-                right = jax.random.bernoulli(k_dir, 0.5)
-                amount = jnp.where(right, shift, -shift)
-                h = jnp.roll(h, amount, axis=1)
+                if stats_groups == 1:
+                    key = self.make_rng("phase")
+                    k_shift, k_dir = jax.random.split(key)
+                    shift = jax.random.randint(k_shift, (), 1, self.phase_shift + 1)
+                    right = jax.random.bernoulli(k_dir, 0.5)
+                    h = phase_shift_roll(h, shift, right, self.phase_shift)
+                else:
+                    Bg = h.shape[0] // stats_groups
+                    parts = []
+                    for g in range(stats_groups):
+                        key = self.make_rng("phase" if g == 0 else f"phase{g + 1}")
+                        k_shift, k_dir = jax.random.split(key)
+                        shift = jax.random.randint(
+                            k_shift, (), 1, self.phase_shift + 1)
+                        right = jax.random.bernoulli(k_dir, 0.5)
+                        parts.append(phase_shift_roll(
+                            h[g * Bg:(g + 1) * Bg], shift, right, self.phase_shift))
+                    h = jnp.concatenate(parts, axis=0)
             h = GConv1DBlock(
                 ninp,
                 fmap,
@@ -78,7 +96,7 @@ class Discriminator(nn.Module):
                 norm_type=self.norm_type,
                 use_pallas=self.use_pallas,
                 name=f"enc_blocks_{ii}",
-            )(h, train=train, mask=mask)
+            )(h, train=train, mask=mask, stats_groups=stats_groups)
             int_act[f"h_{ii}"] = h
             ninp = fmap
         snorm = self.norm_type == "snorm"

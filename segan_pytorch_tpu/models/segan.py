@@ -130,9 +130,21 @@ def reg_loss_fn(kind: str):
 # the fused train step
 # ---------------------------------------------------------------------------
 def make_segan_train_step(gen: Generator, disc: Discriminator, g_tx, d_tx,
-                          reg_loss: str = "l1_loss", compute_dtype=jnp.float32):
+                          reg_loss: str = "l1_loss", compute_dtype=jnp.float32,
+                          fuse_d_pair: Optional[bool] = None):
     reg_fn = reg_loss_fn(reg_loss)
     cdt = compute_dtype
+    if fuse_d_pair is None:
+        # fusing the real/fake passes into one 2B apply is bit-identical for
+        # bnorm/no-norm D (per-group stats + per-group phase draws) and was expected
+        # to fatten the bwd kernels — but MEASURED SLOWER on v5e at batch 300
+        # (2510 vs 2651 slices/s, BENCH.md r2: the 2B activations blow past VMEM
+        # tiling sweet spots), so the default stays sequential. With snorm it would
+        # also diverge (the reference runs one power iteration per forward).
+        # SEGAN_TPU_FUSE_D=1 opts in for A/B measurement.
+        env = os.environ.get("SEGAN_TPU_FUSE_D")
+        fuse_d_pair = (env is not None and env not in ("0", "false", "off")
+                       and disc.norm_type != "snorm")
 
     def step(state: GANTrainState, clean, noisy, mask, rng, l1_weight):
         kz, kd1, kd2, kd3, kdrop = jax.random.split(rng, 5)
@@ -158,13 +170,29 @@ def make_segan_train_step(gen: Generator, disc: Discriminator, g_tx, d_tx,
         def d_loss_fn(d_params):
             dp_c = cast_tree(d_params, cdt)
             dv = {"params": dp_c, **state.d_vars}
-            (d_real, _), m1 = disc.apply(
-                dv, jnp.concatenate([clean_c, noisy_c], -1),
-                train=True, mask=mask, mutable=list(MUTS), rngs={"phase": kd1})
-            dv = {"params": dp_c, **m1}
-            (d_fake, _), m2 = disc.apply(
-                dv, jnp.concatenate([jax.lax.stop_gradient(Genh), noisy_c], -1),
-                train=True, mask=mask, mutable=list(MUTS), rngs={"phase": kd2})
+            if fuse_d_pair:
+                # ONE 2B-batch apply: group 0 = real pair, group 1 = fake pair, with
+                # per-group BN stats and per-group phase draws (streams kd1/kd2) —
+                # bit-identical to the two sequential applies below, ~2x fatter
+                # bwd kernels
+                pair = jnp.concatenate([
+                    jnp.concatenate([clean_c, noisy_c], -1),
+                    jnp.concatenate([jax.lax.stop_gradient(Genh), noisy_c], -1),
+                ], axis=0)
+                mask2 = None if mask is None else jnp.concatenate([mask, mask])
+                (d_out, _), m2 = disc.apply(
+                    dv, pair, train=True, mask=mask2, stats_groups=2,
+                    mutable=list(MUTS), rngs={"phase": kd1, "phase2": kd2})
+                B = clean_c.shape[0]
+                d_real, d_fake = d_out[:B], d_out[B:]
+            else:
+                (d_real, _), m1 = disc.apply(
+                    dv, jnp.concatenate([clean_c, noisy_c], -1),
+                    train=True, mask=mask, mutable=list(MUTS), rngs={"phase": kd1})
+                dv = {"params": dp_c, **m1}
+                (d_fake, _), m2 = disc.apply(
+                    dv, jnp.concatenate([jax.lax.stop_gradient(Genh), noisy_c], -1),
+                    train=True, mask=mask, mutable=list(MUTS), rngs={"phase": kd2})
             d_real_loss = masked_mse(d_real, 1.0, mask)
             d_fake_loss = masked_mse(d_fake, 0.0, mask)
             return d_real_loss + d_fake_loss, (m2, d_real_loss, d_fake_loss)

@@ -27,11 +27,39 @@ from jax import lax
 DEFAULT_PRECISION = lax.Precision.HIGHEST
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def reflect_pad_1d(x: jax.Array, pad_left: int, pad_right: int) -> jax.Array:
-    """Reflect-pad the time axis of a (B, T, C) array (torch F.pad mode='reflect')."""
+    """Reflect-pad the time axis of a (B, T, C) array (torch F.pad mode='reflect').
+
+    Custom VJP: autodiff's transpose of a reflect pad is a full-tensor scatter-add
+    (profiled at several ms/step on v5e); the true adjoint is the interior slice plus
+    two edge-sized adds, which is what the backward below does.
+    """
     if pad_left == 0 and pad_right == 0:
         return x
     return jnp.pad(x, ((0, 0), (pad_left, pad_right), (0, 0)), mode="reflect")
+
+
+def _reflect_pad_fwd(x, pad_left, pad_right):
+    return reflect_pad_1d(x, pad_left, pad_right), x.shape[1]
+
+
+def _reflect_pad_bwd(pad_left, pad_right, T, ct):
+    g = ct[:, pad_left : pad_left + T, :]
+    if pad_left:
+        # xp[i] = x[pad_left - i] for i < pad_left  ->  x[1..pad_left] += ct[:pad_left][::-1]
+        g = g.at[:, 1 : pad_left + 1, :].add(ct[:, :pad_left, :][:, ::-1, :])
+    if pad_right:
+        # xp[pl+T+i] = x[T-2-i]  ->  x[T-1-pr .. T-2] += ct[pl+T:][::-1]
+        g = g.at[:, T - 1 - pad_right : T - 1, :].add(
+            ct[:, pad_left + T :, :][:, ::-1, :])
+    return (g,)
+
+
+reflect_pad_1d.defvjp(_reflect_pad_fwd, _reflect_pad_bwd)
 
 
 def zero_pad_1d(x: jax.Array, pad_left: int, pad_right: int) -> jax.Array:
@@ -107,6 +135,82 @@ def conv_transpose1d(
     return y
 
 
+def _blocked_transpose_kernel(kernel: jax.Array, stride: int, oblock: int,
+                              padding: int, d_min: int, K_b: int) -> jax.Array:
+    """Rearrange a (K, Cin, Cout) transposed-conv kernel into the output-blocked form
+    W' (K_b, ib*Cin, oblock*Cout): with t = oblock*v + s_o and n = ib*(v+d)+p, the tap
+    index is k = s_o + padding - oblock*d - stride*p (d = d_min + j); invalid k -> 0.
+    Output channel order is s_o-major so (B, U, oblock*Cout) -> (B, U*oblock, Cout) is a
+    row-major-compatible reshape (phases land in consecutive time steps)."""
+    import numpy as np
+
+    K, Cin, Cout = kernel.shape
+    ib = oblock // stride
+    j = np.arange(K_b)[:, None, None]
+    p = np.arange(ib)[None, :, None]
+    s_o = np.arange(oblock)[None, None, :]
+    kidx = s_o + padding - oblock * (d_min + j) - stride * p  # (K_b, ib, oblock)
+    valid = (kidx >= 0) & (kidx < K)
+    kc = jnp.asarray(np.clip(kidx, 0, K - 1).reshape(-1))
+    wp = jnp.take(kernel, kc, axis=0).reshape(K_b, ib, oblock, Cin, Cout)
+    wp = jnp.where(jnp.asarray(valid)[..., None, None], wp, 0)
+    # (K_b, ib, Cin, oblock, Cout) -> (K_b, ib*Cin, oblock*Cout)
+    return wp.transpose(0, 1, 3, 2, 4).reshape(K_b, ib * Cin, oblock * Cout)
+
+
+def conv_transpose1d_blocked(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    stride: int = 4,
+    padding: int = 0,
+    oblock: Optional[int] = None,
+    precision=DEFAULT_PRECISION,
+) -> jax.Array:
+    """conv_transpose1d computed as ONE dense stride-1 conv over time blocks.
+
+    The `stride` output phases are concatenated along the channel dim (s_o-major), so
+    the interleave back to time order is a row-major-compatible reshape — no
+    stack/transpose relayout (that relayout is what made the earlier per-phase
+    'phased' lowering lose, BENCH.md r2). With oblock == stride this is the classic
+    polyphase decomposition (dense MXU work, ~K_b*ib/ (K/stride) FLOP overhead);
+    larger oblock packs more output samples per matmul row — the win for tiny-Cout
+    edge layers (e.g. the G dec output layer Cout=1) where lanes would sit idle.
+    Exact same math as conv_transpose1d (torch semantics, untrimmed length)."""
+    K, Cin, Cout = kernel.shape
+    B, L, _ = x.shape
+    if oblock is None:
+        oblock = stride * 4 if Cout <= 2 else stride
+    if oblock % stride:
+        raise ValueError(f"oblock {oblock} must be a multiple of stride {stride}")
+    ib = oblock // stride
+    T_out = (L - 1) * stride + K - 2 * padding
+    U = -(-T_out // oblock)
+    d_max = (oblock - 1 + padding) // oblock
+    d_min = -(-(padding - stride * (ib - 1) - K + 1) // oblock)
+    K_b = d_max - d_min + 1
+    # pad x to a whole number of ib-blocks, plus the block halo on each side
+    pad_r_samples = (-L) % ib
+    xb = jnp.pad(x, ((0, 0), (0, pad_r_samples), (0, 0))) if pad_r_samples else x
+    n_blocks = (L + pad_r_samples) // ib
+    pad_l = -d_min
+    pad_r = (U - 1 + d_max) - (n_blocks - 1)
+    xb = xb.reshape(B, n_blocks, ib * Cin)
+    xb = jnp.pad(xb, ((0, 0), (max(pad_l, 0), max(pad_r, 0)), (0, 0)))
+    if pad_l < 0:
+        xb = xb[:, -pad_l:, :]
+    wp = _blocked_transpose_kernel(kernel, stride, oblock, padding, d_min, K_b)
+    dn = lax.conv_dimension_numbers(xb.shape, wp.shape, ("NWC", "WIO", "NWC"))
+    yb = lax.conv_general_dilated(
+        xb, wp.astype(x.dtype), window_strides=(1,), padding="VALID",
+        dimension_numbers=dn, precision=precision,
+    )  # (B, U, oblock*Cout)
+    y = yb.reshape(B, U * oblock, Cout)[:, :T_out, :]
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
 def conv_transpose1d_auto(
     x: jax.Array,
     kernel: jax.Array,
@@ -126,7 +230,14 @@ def conv_transpose1d_auto(
     import os
 
     impl = os.environ.get("SEGAN_TPU_DECONV", "dilated")
-    if impl == "dilated" or stride == 1:
+    if impl == "blocked" and stride > 1:
+        return conv_transpose1d_blocked(x, kernel, bias, stride=stride,
+                                        padding=padding, precision=precision)
+    if impl == "edge-blocked" and stride > 1 and kernel.shape[2] <= 2:
+        # blocked lowering only for the tiny-Cout output layer; dilated elsewhere
+        return conv_transpose1d_blocked(x, kernel, bias, stride=stride,
+                                        padding=padding, precision=precision)
+    if impl in ("dilated", "blocked", "edge-blocked") or stride == 1:
         return conv_transpose1d(x, kernel, bias, stride=stride, padding=padding,
                                 precision=precision)
     return conv_transpose1d_phased(x, kernel, bias, stride=stride, padding=padding,

@@ -99,6 +99,45 @@ class TestConvTranspose1d:
                                                 stride=stride, padding=pad))
         np.testing.assert_allclose(y1, y2, atol=2e-4)
 
+    @pytest.mark.parametrize(
+        "stride,L,k,pad,cin,cout,oblock",
+        [
+            (4, 16, 31, 13, 32, 16, 4),    # polyphase (oblock == stride)
+            (4, 16, 31, 13, 32, 16, 8),
+            (4, 64, 31, 13, 8, 1, 16),     # tiny-Cout edge layer
+            (4, 64, 31, 13, 8, 1, None),   # auto oblock selection
+            (4, 100, 31, 13, 8, 2, None),
+            (2, 32, 4, 1, 4, 3, 2),
+            (4, 10, 8, 2, 4, 3, 16),
+        ],
+    )
+    def test_blocked_equals_dilated(self, stride, L, k, pad, cin, cout, oblock):
+        from segan_pytorch_tpu.ops.conv import conv_transpose1d_blocked
+
+        x = _rand(2, L, cin)
+        w = _rand(k, cin, cout, seed=7)
+        b = _rand(cout, seed=9).reshape(-1)
+        y1 = np.asarray(conv_transpose1d(jnp.asarray(x), jnp.asarray(w),
+                                         jnp.asarray(b), stride=stride, padding=pad))
+        y2 = np.asarray(conv_transpose1d_blocked(jnp.asarray(x), jnp.asarray(w),
+                                                 jnp.asarray(b), stride=stride,
+                                                 padding=pad, oblock=oblock))
+        assert y1.shape == y2.shape
+        np.testing.assert_allclose(y1, y2, atol=2e-4)
+
+    def test_blocked_gradients_match(self):
+        from segan_pytorch_tpu.ops.conv import conv_transpose1d_blocked
+
+        x = jnp.asarray(_rand(2, 16, 8))
+        w = jnp.asarray(_rand(31, 8, 4, seed=3))
+
+        def loss(fn, w):
+            return jnp.sum(fn(x, w, stride=4, padding=13) ** 2)
+
+        g1 = jax.grad(lambda w: loss(conv_transpose1d, w))(w)
+        g2 = jax.grad(lambda w: loss(conv_transpose1d_blocked, w))(w)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-3)
+
 
 class TestSignal:
     def test_normalize_int16_endpoints(self):
@@ -159,3 +198,30 @@ class TestSTFT:
         mag_t = st.abs().numpy()
         assert mag.shape == mag_t.shape
         np.testing.assert_allclose(mag, mag_t, atol=2e-4)
+
+
+class TestPhaseShiftRoll:
+    def test_matches_jnp_roll(self):
+        from segan_pytorch_tpu.ops.roll import phase_shift_roll
+
+        x = jnp.asarray(_rand(2, 33, 3))
+        for s in range(1, 6):
+            for right in (False, True):
+                y = phase_shift_roll(x, jnp.asarray(s), jnp.asarray(right), 5)
+                ref = jnp.roll(x, s if right else -s, axis=1)
+                np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+
+    def test_gradient_is_inverse_roll(self):
+        from segan_pytorch_tpu.ops.roll import phase_shift_roll
+
+        x = jnp.asarray(_rand(1, 16, 2))
+        g = jax.grad(lambda v: jnp.sum(
+            phase_shift_roll(v, jnp.asarray(3), jnp.asarray(True), 5) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(2 * x), rtol=1e-6)
+
+    def test_large_max_shift_falls_back(self):
+        from segan_pytorch_tpu.ops.roll import phase_shift_roll
+
+        x = jnp.asarray(_rand(1, 64, 2))
+        y = phase_shift_roll(x, jnp.asarray(20), jnp.asarray(False), 20)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(jnp.roll(x, -20, axis=1)))

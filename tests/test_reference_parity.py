@@ -419,7 +419,10 @@ class TestWSEGANLossParity:
         # pin z: wrap the generator's sample_z
         import jax as _jax
 
-        orig_sample = ws.G.sample_z
+        # patch the CLASS attribute and restore the class attribute (restoring
+        # ws.G.sample_z — a bound method — would pin `self` to this test's
+        # generator for every later Generator instance in the process)
+        orig_sample = ws.G.__class__.sample_z
         try:
             ws.G.__class__.sample_z = lambda self, rng, shape: jnp.asarray(z)
             new_state, metrics, Genh_j, _ = step(

@@ -378,3 +378,74 @@ class TestMaskedBatchNorm:
         # and the masked losses stay finite/reasonable despite the garbage rows
         for k, v in mB.items():
             assert np.isfinite(float(v)), k
+
+
+class TestFusedDPair:
+    """The fused real/fake D apply (stats_groups=2) must be bit-comparable to the
+    sequential two-apply step it replaces (models/segan.py:d_loss_fn)."""
+
+    def test_fused_equals_sequential_step(self):
+        from segan_pytorch_tpu.models.segan import (
+            make_segan_train_step, GANTrainState, compute_dtype_of)
+
+        import optax
+
+        cfg = small_cfg()
+        results = []
+        for fuse in (False, True):
+            segan = SEGAN(cfg)
+            segan.init_state(batch_size=4)
+            # SGD(1) makes new_params = params - grads, so the comparison below is a
+            # direct gradient comparison (RMSprop's first step is ~lr*10*sign(g),
+            # which amplifies reduction-order noise on near-zero grads into sign
+            # flips and would make the tolerance meaningless)
+            g_tx = d_tx = optax.sgd(1.0)
+            segan.state = segan.state.replace(
+                g_opt=g_tx.init(segan.state.g_params),
+                d_opt=d_tx.init(segan.state.d_params))
+            step = make_segan_train_step(segan.G, segan.D, g_tx, d_tx,
+                                         cfg.reg_loss, compute_dtype_of(cfg),
+                                         fuse_d_pair=fuse)
+            clean, noisy, mask = synth_batch()
+            new_state, metrics, Genh, z = jax.jit(step)(
+                segan.state, jnp.asarray(clean), jnp.asarray(noisy),
+                jnp.asarray(mask), jax.random.PRNGKey(7), jnp.float32(100.0))
+            results.append((jax.device_get(metrics),
+                            flatten_tree(jax.device_get(new_state.d_params)),
+                            flatten_tree(jax.device_get(
+                                new_state.d_vars["batch_stats"])),
+                            np.asarray(Genh)))
+        (m0, d0, bn0, g0), (m1, d1, bn1, g1) = results
+        for k in m0:
+            np.testing.assert_allclose(m0[k], m1[k], rtol=1e-5, err_msg=k)
+        for k in d0:
+            # conv biases under bnorm have an exactly-zero true gradient (BN
+            # subtracts the mean), so both modes yield ~1e-5 cancellation noise
+            # there — atol must sit above it
+            np.testing.assert_allclose(d0[k], d1[k], rtol=2e-4, atol=5e-5,
+                                       err_msg=k)
+        for k in bn0:
+            # grouped vs per-apply reduction order shifts running stats by ~1e-6
+            np.testing.assert_allclose(bn0[k], bn1[k], rtol=1e-4, atol=1e-6,
+                                       err_msg=k)
+        np.testing.assert_allclose(g0, g1, atol=1e-6)
+
+    def test_fused_respects_mask(self):
+        """Padded rows (mask=0) must not leak into either group's BN stats."""
+        cfg = small_cfg()
+        segan = SEGAN(cfg)
+        segan.init_state(batch_size=4)
+        segan.prepare_train(4)
+        clean, noisy, mask = synth_batch()
+        mask[-1] = 0.0
+        noisy2 = noisy.copy()
+        noisy2[-1] = 1e6  # garbage in the padded row
+        k = jax.random.PRNGKey(3)
+        m_a, _, _ = segan.train_step(clean, noisy, mask, k, 100.0)
+        segan2 = SEGAN(cfg)
+        segan2.init_state(batch_size=4)
+        segan2.prepare_train(4)
+        m_b, _, _ = segan2.train_step(clean, noisy2, mask, k, 100.0)
+        for key in m_a:
+            np.testing.assert_allclose(float(m_a[key]), float(m_b[key]),
+                                       rtol=1e-4, err_msg=key)
