@@ -86,16 +86,24 @@ def conv1d(
     f32-output conv gets an f32 cotangent whose transpose-conv against the bf16 operands
     fails type checking in jax's conv transpose rule.
     """
-    dn = lax.conv_dimension_numbers(x.shape, kernel.shape, ("NWC", "WIO", "NWC"))
-    y = lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=(stride,),
-        padding="VALID",
-        rhs_dilation=(dilation,),
-        dimension_numbers=dn,
-        precision=precision,
-    )
+    import os
+
+    if (stride > 1 and dilation == 1
+            and os.environ.get("SEGAN_TPU_CONV_GRAD", "xla") == "custom"):
+        # custom backward: blocked-transpose dx + phase-dot dw (see bottom of file)
+        y = _conv1d_cg(x, kernel, stride, precision)
+    else:
+        dn = lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                        ("NWC", "WIO", "NWC"))
+        y = lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(stride,),
+            padding="VALID",
+            rhs_dilation=(dilation,),
+            dimension_numbers=dn,
+            precision=precision,
+        )
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
@@ -230,6 +238,11 @@ def conv_transpose1d_auto(
     import os
 
     impl = os.environ.get("SEGAN_TPU_DECONV", "dilated")
+    if (stride > 1 and impl == "dilated"
+            and os.environ.get("SEGAN_TPU_CONV_GRAD", "xla") == "custom"):
+        # same forward lowering, custom backward (blocked dx + phase-dot dw)
+        y = _deconv1d_cg(x, kernel, stride, padding, precision)
+        return y if bias is None else y + bias.astype(y.dtype)
     if impl == "blocked" and stride > 1:
         return conv_transpose1d_blocked(x, kernel, bias, stride=stride,
                                         padding=padding, precision=precision)
@@ -294,3 +307,112 @@ def conv_transpose1d_phased(
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
+
+
+# ---------------------------------------------------------------------------
+# custom-gradient lowerings for the strided conv / deconv backward passes
+# ---------------------------------------------------------------------------
+# Profiling the fused train step (BENCH.md r2) shows the transpose (backward) conv
+# kernels running at roughly HALF the MXU efficiency of the forwards — XLA lowers
+# grad-of-filter as a conv whose window length equals the (large) output time axis,
+# which tiles poorly. The lowerings below replace the two backward operands of every
+# stride>1 conv/deconv:
+#   * grad wrt input  — the exact adjoint IS a transposed conv; we use the
+#     output-blocked (polyphase) form above, which is dense stride-1 MXU work.
+#   * grad wrt filter — phase-decomposed into ceil(K/stride) dense dot_generals
+#     contracting over (batch, time): grad_w[s*q+r] = sum_{b,t} x_phase_r[b,t+q]*ct[b,t].
+# Enabled with SEGAN_TPU_CONV_GRAD=custom (read at trace time).
+
+
+def _grad_filter_dot(xp: jax.Array, ct: jax.Array, stride: int, K: int,
+                     precision=DEFAULT_PRECISION) -> jax.Array:
+    """Gradient of a VALID stride-`stride` conv wrt its (K, Ci, Co) filter.
+
+    xp: (B, Tin, Ci) forward input (already padded), ct: (B, Tout, Co) cotangent,
+    with Tin >= stride*(Tout-1) + K. Returns (K, Ci, Co).
+
+    grad_w[k, ci, co] = sum_{b,t} xp[b, stride*t + k, ci] * ct[b, t, co].
+    With k = stride*q + r this is, per tap-offset q, one dot_general contracting
+    (b, t) between the phase-split input and ct — Q = ceil(K/stride) dense matmuls
+    of shape (stride*Ci, B*Tout) x (B*Tout, Co) instead of one degenerate conv.
+    """
+    B, Tin, Ci = xp.shape
+    _, Tout, Co = ct.shape
+    s = stride
+    Q = -(-K // s)
+    need = s * (Tout - 1 + Q)  # phase u index goes up to Tout-1 + Q-1
+    if Tin < need:
+        xp = jnp.pad(xp, ((0, 0), (0, need - Tin), (0, 0)))
+    elif Tin > need:
+        xp = xp[:, :need, :]
+    xs = xp.reshape(B, Tout - 1 + Q, s, Ci)  # [b, u, r, ci] = xp[b, s*u + r, ci]
+    dn = (((0, 1), (0, 1)), ((), ()))  # contract (b, u-window) on both sides
+    taps = []
+    for q in range(Q):
+        g = lax.dot_general(xs[:, q:q + Tout], ct, dn,
+                            precision=precision)  # (s, Ci, Co)
+        taps.append(g)
+    gw = jnp.concatenate(taps, axis=0)[:K]  # (s*Q >= K taps, Ci, Co)
+    return gw
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv1d_cg(x, kernel, stride, precision):
+    dn = lax.conv_dimension_numbers(x.shape, kernel.shape, ("NWC", "WIO", "NWC"))
+    return lax.conv_general_dilated(
+        x, kernel, window_strides=(stride,), padding="VALID",
+        dimension_numbers=dn, precision=precision)
+
+
+def _conv1d_cg_fwd(x, kernel, stride, precision):
+    return _conv1d_cg(x, kernel, stride, precision), (x, kernel)
+
+
+def _conv1d_cg_bwd(stride, precision, res, ct):
+    x, kernel = res
+    K = kernel.shape[0]
+    # dx: exact adjoint = transposed conv of ct with the (K, Co, Ci)-swapped kernel
+    dx = conv_transpose1d_blocked(ct, jnp.swapaxes(kernel, 1, 2), stride=stride,
+                                  padding=0, precision=precision)
+    # the adjoint produces stride*(Tout-1)+K samples; trailing input samples the
+    # VALID window never reached get zero gradient
+    T = x.shape[1]
+    dx = dx[:, :T, :]
+    if dx.shape[1] < T:
+        dx = jnp.pad(dx, ((0, 0), (0, T - dx.shape[1]), (0, 0)))
+    dw = _grad_filter_dot(x, ct, stride, K, precision=precision)
+    return dx.astype(x.dtype), dw.astype(kernel.dtype)
+
+
+_conv1d_cg.defvjp(_conv1d_cg_fwd, _conv1d_cg_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _deconv1d_cg(x, kernel, stride, padding, precision):
+    return conv_transpose1d(x, kernel, None, stride=stride, padding=padding,
+                            precision=precision)
+
+
+def _deconv1d_cg_fwd(x, kernel, stride, padding, precision):
+    return _deconv1d_cg(x, kernel, stride, padding, precision), (x, kernel)
+
+
+def _deconv1d_cg_bwd(stride, padding, precision, res, ct):
+    x, kernel = res
+    K = kernel.shape[0]
+    # y[b, s*t + k - p, co] += x[b, t, ci] * w[k, ci, co]  =>
+    # dx[b, t, ci] = sum_{k, co} ct_p[b, s*t + k, co] * w[k, ci, co]  (ct_p: ct
+    # zero-padded by `padding` on both sides) — a VALID stride-s conv of ct_p with
+    # the (K, Co, Ci)-swapped kernel; dw has the same phase-dot structure as the
+    # strided-conv filter grad with the operand roles swapped.
+    ct_p = zero_pad_1d(ct, padding, padding)
+    dn = lax.conv_dimension_numbers(ct_p.shape, (K,) + kernel.shape[2:0:-1],
+                                    ("NWC", "WIO", "NWC"))
+    dx = lax.conv_general_dilated(
+        ct_p, jnp.swapaxes(kernel, 1, 2), window_strides=(stride,),
+        padding="VALID", dimension_numbers=dn, precision=precision)
+    dw = _grad_filter_dot(ct_p, x, stride, K, precision=precision)  # (K, Co, Ci)
+    return dx.astype(x.dtype), jnp.swapaxes(dw, 1, 2).astype(kernel.dtype)
+
+
+_deconv1d_cg.defvjp(_deconv1d_cg_fwd, _deconv1d_cg_bwd)

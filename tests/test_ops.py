@@ -225,3 +225,84 @@ class TestPhaseShiftRoll:
         x = jnp.asarray(_rand(1, 64, 2))
         y = phase_shift_roll(x, jnp.asarray(20), jnp.asarray(False), 20)
         np.testing.assert_array_equal(np.asarray(y), np.asarray(jnp.roll(x, -20, axis=1)))
+
+
+class TestCustomConvGrads:
+    """SEGAN_TPU_CONV_GRAD=custom replaces the strided conv/deconv backward with the
+    blocked-transpose dx + phase-decomposed dot_general dw (ops/conv.py). The custom
+    path must match XLA autodiff to float tolerance, forward and both grads."""
+
+    def _run(self, monkeypatch, fn, args, mode):
+        monkeypatch.setenv("SEGAN_TPU_CONV_GRAD", mode)
+        return fn(*args)
+
+    @pytest.mark.parametrize(
+        "B,T,Ci,Co,K,s",
+        [
+            (2, 64, 3, 5, 31, 4),   # unused trailing input sample (T > s*(To-1)+K)
+            (2, 67, 2, 64, 31, 4),  # the D input layer shape class
+            (3, 40, 8, 4, 5, 2),
+            (2, 33, 4, 4, 31, 3),   # stride not dividing K
+            (1, 16, 1, 2, 4, 4),    # K == stride
+        ],
+    )
+    def test_conv1d_custom_grads_match_xla(self, monkeypatch, B, T, Ci, Co, K, s):
+        from segan_pytorch_tpu.ops.conv import conv1d
+
+        x = jnp.asarray(_rand(B, T, Ci))
+        w = jnp.asarray(_rand(K, Ci, Co, seed=3))
+
+        def loss_x(xx, mode):
+            monkeypatch.setenv("SEGAN_TPU_CONV_GRAD", mode)
+            return jnp.sum(jnp.sin(conv1d(xx, w, stride=s)))
+
+        def loss_w(ww, mode):
+            monkeypatch.setenv("SEGAN_TPU_CONV_GRAD", mode)
+            return jnp.sum(jnp.sin(conv1d(x, ww, stride=s)))
+
+        monkeypatch.setenv("SEGAN_TPU_CONV_GRAD", "custom")
+        y1 = conv1d(x, w, stride=s)
+        monkeypatch.setenv("SEGAN_TPU_CONV_GRAD", "xla")
+        y0 = conv1d(x, w, stride=s)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+        gx0 = jax.grad(loss_x)(x, "xla")
+        gx1 = jax.grad(loss_x)(x, "custom")
+        np.testing.assert_allclose(np.asarray(gx0), np.asarray(gx1), atol=2e-4)
+        gw0 = jax.grad(loss_w)(w, "xla")
+        gw1 = jax.grad(loss_w)(w, "custom")
+        np.testing.assert_allclose(np.asarray(gw0), np.asarray(gw1), atol=2e-4)
+
+    @pytest.mark.parametrize(
+        "B,L,Ci,Co,K,s,p",
+        [
+            (2, 16, 8, 4, 31, 4, 13),  # G decoder shape class
+            (2, 10, 4, 1, 31, 4, 13),  # Cout=1 output layer
+            (3, 9, 4, 3, 4, 2, 1),
+            (2, 8, 2, 2, 8, 4, 2),
+        ],
+    )
+    def test_deconv_custom_grads_match_xla(self, monkeypatch, B, L, Ci, Co, K, s, p):
+        from segan_pytorch_tpu.ops.conv import conv_transpose1d_auto
+
+        x = jnp.asarray(_rand(B, L, Ci))
+        w = jnp.asarray(_rand(K, Ci, Co, seed=5))
+
+        def loss_x(xx, mode):
+            monkeypatch.setenv("SEGAN_TPU_CONV_GRAD", mode)
+            return jnp.sum(jnp.sin(conv_transpose1d_auto(xx, w, stride=s, padding=p)))
+
+        def loss_w(ww, mode):
+            monkeypatch.setenv("SEGAN_TPU_CONV_GRAD", mode)
+            return jnp.sum(jnp.sin(conv_transpose1d_auto(x, ww, stride=s, padding=p)))
+
+        monkeypatch.setenv("SEGAN_TPU_CONV_GRAD", "custom")
+        y1 = conv_transpose1d_auto(x, w, stride=s, padding=p)
+        monkeypatch.setenv("SEGAN_TPU_CONV_GRAD", "xla")
+        y0 = conv_transpose1d_auto(x, w, stride=s, padding=p)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+        gx0 = jax.grad(loss_x)(x, "xla")
+        gx1 = jax.grad(loss_x)(x, "custom")
+        np.testing.assert_allclose(np.asarray(gx0), np.asarray(gx1), atol=2e-4)
+        gw0 = jax.grad(loss_w)(w, "xla")
+        gw1 = jax.grad(loss_w)(w, "custom")
+        np.testing.assert_allclose(np.asarray(gw0), np.asarray(gw1), atol=2e-4)

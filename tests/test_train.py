@@ -449,3 +449,57 @@ class TestFusedDPair:
         for key in m_a:
             np.testing.assert_allclose(float(m_a[key]), float(m_b[key]),
                                        rtol=1e-4, err_msg=key)
+
+
+class TestCustomConvGradStep:
+    """One full fused train step under SEGAN_TPU_CONV_GRAD=custom must match the
+    XLA-autodiff step (same rng, SGD(1) so param deltas ARE the gradients)."""
+
+    def _run(self, monkeypatch, mode, g_lr, d_lr):
+        import optax
+
+        from segan_pytorch_tpu.models.segan import (
+            make_segan_train_step, compute_dtype_of)
+
+        monkeypatch.setenv("SEGAN_TPU_CONV_GRAD", mode)
+        cfg = small_cfg()
+        segan = SEGAN(cfg)
+        segan.init_state(batch_size=4)
+        g_tx, d_tx = optax.sgd(g_lr), optax.sgd(d_lr)
+        segan.state = segan.state.replace(
+            g_opt=g_tx.init(segan.state.g_params),
+            d_opt=d_tx.init(segan.state.d_params))
+        step = make_segan_train_step(segan.G, segan.D, g_tx, d_tx,
+                                     cfg.reg_loss, compute_dtype_of(cfg))
+        clean, noisy, mask = synth_batch()
+        new_state, metrics, Genh, z = jax.jit(step)(
+            segan.state, jnp.asarray(clean), jnp.asarray(noisy),
+            jnp.asarray(mask), jax.random.PRNGKey(11), jnp.float32(100.0))
+        return (jax.device_get(metrics),
+                flatten_tree(jax.device_get(new_state.g_params)),
+                flatten_tree(jax.device_get(new_state.d_params)),
+                np.asarray(Genh))
+
+    def test_step_matches_xla_autodiff(self, monkeypatch):
+        # phase 1 — coupled step, SGD(1): D-param deltas ARE the D gradients.
+        # (G grads here pass through the UPDATED D, where lr=1 turns bf16
+        # reduction-order noise in the D update into a genuinely different D —
+        # chaotic amplification, so G params are checked in phase 2 instead.)
+        m0, _, d0, y0 = self._run(monkeypatch, "xla", g_lr=1.0, d_lr=1.0)
+        m1, _, d1, y1 = self._run(monkeypatch, "custom", g_lr=1.0, d_lr=1.0)
+        np.testing.assert_allclose(y0, y1, atol=1e-6)  # forward is identical
+        for k in m0:
+            np.testing.assert_allclose(m0[k], m1[k], rtol=1e-5, err_msg=k)
+        for k in d0:
+            # bf16 reduction-order noise only (the custom dw contracts (b,t) in
+            # one dot_general vs XLA's windowed conv accumulation); bnorm conv
+            # biases have ~0 true gradient
+            np.testing.assert_allclose(d0[k], d1[k], rtol=1e-3, atol=5e-5,
+                                       err_msg=k)
+        # phase 2 — frozen D (lr=0): G-param deltas are the G gradients through
+        # the SAME discriminator in both modes
+        _, g0, _, _ = self._run(monkeypatch, "xla", g_lr=1.0, d_lr=0.0)
+        _, g1, _, _ = self._run(monkeypatch, "custom", g_lr=1.0, d_lr=0.0)
+        for k in g0:
+            np.testing.assert_allclose(g0[k], g1[k], rtol=1e-3, atol=5e-5,
+                                       err_msg=k)
