@@ -518,10 +518,15 @@ class SEGAN:
 
         self.writer = TrainLogger(os.path.join(self.save_path, "train"))
         self.prepare_train(cfg.batch_size)
-        eoe_g_saver = Saver(cfg.save_path, max_ckpts=3, prefix="EOE_G-")
-        eoe_d_saver = Saver(cfg.save_path, max_ckpts=3, prefix="EOE_D-")
-        best_saver_g = Saver(cfg.save_path, max_ckpts=3, prefix=f"{self.name}-G-")
-        best_saver_d = Saver(cfg.save_path, max_ckpts=3, prefix=f"{self.name}-D-")
+        # async: checkpoint D2H + file IO overlap the next epoch's compute
+        eoe_g_saver = Saver(cfg.save_path, max_ckpts=3, prefix="EOE_G-",
+                            async_write=True)
+        eoe_d_saver = Saver(cfg.save_path, max_ckpts=3, prefix="EOE_D-",
+                            async_write=True)
+        best_saver_g = Saver(cfg.save_path, max_ckpts=3, prefix=f"{self.name}-G-",
+                             async_write=True)
+        best_saver_d = Saver(cfg.save_path, max_ckpts=3, prefix=f"{self.name}-D-",
+                             async_write=True)
         num_batches = len(dloader)
         # resume-aware counters: continue iteration numbering (so checkpoint names
         # never collide with the rotation index) and fast-forward the l1 schedule
@@ -654,18 +659,21 @@ class SEGAN:
             if epoch % max(1, getattr(cfg, "eoe_save_every", 1)) == 0 \
                     or epoch == cfg.epoch:
                 self.save(eoe_g_saver, eoe_d_saver, iteration)
+        for sv in (eoe_g_saver, eoe_d_saver, best_saver_g, best_saver_d):
+            sv.flush()  # all checkpoint bytes on disk before train() returns
 
     def save(self, g_saver: Saver, d_saver: Saver, step: int, best_val: bool = False):
+        # device arrays are handed to the Saver as-is: an async Saver snapshots them
+        # on-device and moves the D2H transfer off the training thread; a sync Saver
+        # transfers inside _save_impl (flatten_tree's np.asarray)
         from flax import serialization
 
-        g_tree = {"params": jax.device_get(self.state.g_params),
-                  **jax.device_get(self.state.g_vars)}
-        g_opt = serialization.to_state_dict(jax.device_get(self.state.g_opt))
+        g_tree = {"params": self.state.g_params, **self.state.g_vars}
+        g_opt = serialization.to_state_dict(self.state.g_opt)
         g_saver.save("Generator", step, g_tree, opt_tree=g_opt, best_val=best_val)
         if self.D is not None and self.state.d_params is not None:
-            d_tree = {"params": jax.device_get(self.state.d_params),
-                      **jax.device_get(self.state.d_vars)}
-            d_opt = serialization.to_state_dict(jax.device_get(self.state.d_opt))
+            d_tree = {"params": self.state.d_params, **self.state.d_vars}
+            d_opt = serialization.to_state_dict(self.state.d_opt)
             d_saver.save("Discriminator", step, d_tree, opt_tree=d_opt,
                          best_val=best_val)
 

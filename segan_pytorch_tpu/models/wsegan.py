@@ -212,8 +212,10 @@ class WSEGAN(SEGAN):
 
         self.writer = TrainLogger(os.path.join(cfg.save_path, "train"))
         self.prepare_train(cfg.batch_size)
-        eoe_g_saver = Saver(cfg.save_path, max_ckpts=3, prefix="EOE_G-")
-        eoe_d_saver = Saver(cfg.save_path, max_ckpts=3, prefix="EOE_D-")
+        eoe_g_saver = Saver(cfg.save_path, max_ckpts=3, prefix="EOE_G-",
+                            async_write=True)
+        eoe_d_saver = Saver(cfg.save_path, max_ckpts=3, prefix="EOE_D-",
+                            async_write=True)
         num_batches = len(dloader)
         l1_weight = l1_init
         timings = []
@@ -280,6 +282,8 @@ class WSEGAN(SEGAN):
                 if epoch % max(1, getattr(cfg, "eoe_save_every", 1)) == 0 \
                         or iteration == total_iters:
                     self.save(eoe_g_saver, eoe_d_saver, iteration)
+        eoe_g_saver.flush()
+        eoe_d_saver.flush()
 
     def _log_skip_alphas(self, iteration: int):
         """skip-alpha histograms (ref model.py:720-727)."""
@@ -413,7 +417,8 @@ class AEWSEGAN(WSEGAN):
 
         self.writer = TrainLogger(os.path.join(cfg.save_path, "train"))
         self.prepare_train(cfg.batch_size)
-        eoe_g_saver = Saver(cfg.save_path, max_ckpts=3, prefix="EOE_G-")
+        eoe_g_saver = Saver(cfg.save_path, max_ckpts=3, prefix="EOE_G-",
+                            async_write=True)
         num_batches = len(dloader)
         timings = []
         best_val_obj = np.inf
@@ -470,17 +475,18 @@ class AEWSEGAN(WSEGAN):
                     if sd < best_val_obj:
                         best_saver = Saver(cfg.save_path, max_ckpts=3,
                                            prefix=f"{self.name}-G-")
-                        g_tree = {"params": jax.device_get(self.state.g_params),
-                                  **jax.device_get(self.state.g_vars)}
+                        g_tree = {"params": self.state.g_params,
+                                  **self.state.g_vars}
                         best_saver.save("Generator", iteration, g_tree, best_val=True)
                         best_val_obj = sd
             if iteration % num_batches == 0:
                 epoch = iteration // num_batches
                 if epoch % max(1, getattr(cfg, "eoe_save_every", 1)) == 0 \
                         or iteration == total_iters:
-                    g_tree = {"params": jax.device_get(self.state.g_params),
-                              **jax.device_get(self.state.g_vars)}
+                    g_tree = {"params": self.state.g_params,
+                              **self.state.g_vars}
                     eoe_g_saver.save("Generator", iteration, g_tree)
+        eoe_g_saver.flush()
 
     def evaluate_sd(self, cfg: SEGANConfig, dloader, max_samples: int = 1) -> float:
         """Spectral distortion (dB): mean |log-power(Genh) - log-power(clean)|.
@@ -501,6 +507,6 @@ class AEWSEGAN(WSEGAN):
         return float(np.mean(sds))
 
     def save(self, g_saver, d_saver, step, best_val: bool = False):
-        g_tree = {"params": jax.device_get(self.state.g_params),
-                  **jax.device_get(self.state.g_vars)}
+        # device arrays handed over as-is; async Savers snapshot on-device
+        g_tree = {"params": self.state.g_params, **self.state.g_vars}
         g_saver.save("Generator", step, g_tree, best_val=best_val)

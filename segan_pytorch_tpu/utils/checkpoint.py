@@ -66,14 +66,69 @@ def load_pytree(path: str) -> Tuple[dict, Optional[dict]]:
 # Saver with the reference's rotating JSON index
 # ---------------------------------------------------------------------------
 class Saver:
-    def __init__(self, save_path: str, max_ckpts: int = 5, prefix: str = ""):
+    """Rotating-index checkpoint writer (reference core.py:Saver semantics).
+
+    async_write=True overlaps checkpoint IO with training: the caller-side cost is
+    one on-device buffer copy (HBM bandwidth, ~ms), and the device->host transfer +
+    file write run in a background thread. Measured on the dev-tunnel TPU the
+    synchronous EOE save costs ~20 s per model (D2H at ~33 MB/s for params+optimizer)
+    — dominating short epochs. On-device copies are donation-safe: the next train
+    step donates the *state* buffers, never these snapshots. One write is in flight
+    at a time (a new save joins the previous); flush() joins and re-raises any
+    background failure."""
+
+    def __init__(self, save_path: str, max_ckpts: int = 5, prefix: str = "",
+                 async_write: bool = False):
         self.save_path = save_path
         self.ckpt_path = os.path.join(save_path, f"{prefix}checkpoints")
         self.max_ckpts = max_ckpts
         self.prefix = prefix
+        self.async_write = async_write
+        self._inflight = None
+        self._bg_error = None
+
+    def flush(self):
+        """Wait for any in-flight background write; re-raise its failure."""
+        if self._inflight is not None:
+            self._inflight.join()
+            self._inflight = None
+        if self._bg_error is not None:
+            err, self._bg_error = self._bg_error, None
+            raise err
 
     def save(self, model_name: str, step: int, tree: Any, opt_tree: Any = None,
              best_val: bool = False) -> str:
+        if not self.async_write:
+            return self._save_impl(model_name, step, tree, opt_tree, best_val)
+        import threading
+
+        import jax
+
+        self.flush()
+
+        def snap(t):
+            return jax.tree.map(
+                lambda a: a.copy() if isinstance(a, jax.Array) else a, t)
+
+        tree_c, opt_c = snap(tree), snap(opt_tree)
+        out = os.path.join(
+            self.save_path,
+            "weights_" + self.prefix + ("best_" if best_val else "")
+            + f"{model_name}-{step}.ckpt")
+
+        def run():
+            try:
+                self._save_impl(model_name, step, tree_c, opt_c, best_val)
+            except BaseException as e:  # surfaced on the next save()/flush()
+                self._bg_error = e
+
+        self._inflight = threading.Thread(
+            target=run, name=f"saver-{self.prefix}{step}", daemon=False)
+        self._inflight.start()
+        return out
+
+    def _save_impl(self, model_name: str, step: int, tree: Any,
+                   opt_tree: Any = None, best_val: bool = False) -> str:
         os.makedirs(self.save_path, exist_ok=True)
         if os.path.exists(self.ckpt_path):
             with open(self.ckpt_path, "r") as f:
@@ -108,6 +163,7 @@ class Saver:
         return out
 
     def read_latest_checkpoint(self):
+        self.flush()  # a just-scheduled async write must be visible to readers
         if not os.path.exists(self.ckpt_path):
             print(f"[!] No checkpoint found in {self.save_path}")
             return False

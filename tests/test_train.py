@@ -503,3 +503,49 @@ class TestCustomConvGradStep:
         for k in g0:
             np.testing.assert_allclose(g0[k], g1[k], rtol=1e-3, atol=5e-5,
                                        err_msg=k)
+
+
+class TestAsyncSaver:
+    def test_async_save_equals_sync(self, tmp_path):
+        import optax
+        from flax import serialization
+
+        from segan_pytorch_tpu.utils.checkpoint import Saver, load_pytree
+
+        cfg = small_cfg()
+        segan = SEGAN(cfg)
+        segan.init_state(batch_size=2)
+        tree = {"params": segan.state.g_params, **segan.state.g_vars}
+        opt = serialization.to_state_dict(segan.state.g_opt)
+        s_sync = Saver(str(tmp_path / "sync"), prefix="EOE_G-")
+        s_async = Saver(str(tmp_path / "async"), prefix="EOE_G-", async_write=True)
+        p_sync = s_sync.save("Generator", 7, tree, opt_tree=opt)
+        p_async = s_async.save("Generator", 7, tree, opt_tree=opt)
+        s_async.flush()
+        a, ma = load_pytree(p_sync)
+        b, mb = load_pytree(p_async)
+        assert ma == mb
+        fa, fb = flatten_tree(a), flatten_tree(b)
+        assert fa.keys() == fb.keys()
+        for k in fa:
+            np.testing.assert_array_equal(fa[k], fb[k])
+
+    def test_read_latest_flushes_inflight_write(self, tmp_path):
+        from segan_pytorch_tpu.utils.checkpoint import Saver
+
+        s = Saver(str(tmp_path), prefix="EOE_G-", async_write=True)
+        tree = {"w": jnp.ones((256, 256))}
+        s.save("Generator", 3, tree)
+        # read must see the write even if the background thread hasn't finished
+        assert s.read_latest_checkpoint() == "EOE_G-Generator-3.ckpt"
+        assert (tmp_path / "weights_EOE_G-Generator-3.ckpt").exists()
+
+    def test_background_error_is_reraised(self, tmp_path):
+        from segan_pytorch_tpu.utils.checkpoint import Saver
+
+        s = Saver(str(tmp_path / "nope"), prefix="X-", async_write=True)
+        # make the directory un-creatable by occupying the path with a file
+        (tmp_path / "nope").write_text("not a dir")
+        s.save("Generator", 1, {"w": jnp.ones((2,))})
+        with pytest.raises(Exception):
+            s.flush()
