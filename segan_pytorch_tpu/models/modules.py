@@ -348,10 +348,14 @@ class GConv1DBlock(nn.Module):
         act = PReLU(self.fmaps, init_val=0.0, name="act")
         from ..ops.pallas.conv1d import pallas_applicable
 
-        if (self.use_pallas and self.norm_type in (None, "none")
+        if (self.use_pallas and not train and self.norm_type in (None, "none")
                 and pallas_applicable(x_p.shape[1], kw, self.stride)):
             # fused pad→conv→bias→PReLU Pallas kernel (norm-free path only: with
-            # bnorm the normalization sits between conv and act, ref modules.py:99-101)
+            # bnorm the normalization sits between conv and act, ref modules.py:99-101).
+            # Inference/standalone only: inside the fused jitted train step the
+            # per-layer kernel is a fusion barrier and measured a net LOSS
+            # (1589 vs 2372 slices/s, BENCH.md), while standalone/inference conv
+            # stacks win 1.1-1.4x — so --use_pallas is never slower than default.
             from ..ops.pallas import fused_conv1d_prelu
 
             w, b = conv.get_params(train)

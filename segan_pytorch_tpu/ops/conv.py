@@ -88,8 +88,11 @@ def conv1d(
     """
     import os
 
-    if (stride > 1 and dilation == 1
-            and os.environ.get("SEGAN_TPU_CONV_GRAD", "xla") == "custom"):
+    mode = os.environ.get("SEGAN_TPU_CONV_GRAD", "xla")
+    use_custom = stride > 1 and dilation == 1 and (
+        mode == "custom"
+        or (mode == "auto" and _custom_grad_wins(x.shape[2], kernel.shape[2], stride)))
+    if use_custom:
         # custom backward: blocked-transpose dx + phase-dot dw (see bottom of file)
         y = _conv1d_cg(x, kernel, stride, precision)
     else:
@@ -238,8 +241,12 @@ def conv_transpose1d_auto(
     import os
 
     impl = os.environ.get("SEGAN_TPU_DECONV", "dilated")
+    mode = os.environ.get("SEGAN_TPU_CONV_GRAD", "xla")
     if (stride > 1 and impl == "dilated"
-            and os.environ.get("SEGAN_TPU_CONV_GRAD", "xla") == "custom"):
+            and (mode == "custom"
+                 or (mode == "auto"
+                     and _custom_grad_wins(kernel.shape[1], kernel.shape[2],
+                                           stride)))):
         # same forward lowering, custom backward (blocked dx + phase-dot dw)
         y = _deconv1d_cg(x, kernel, stride, padding, precision)
         return y if bias is None else y + bias.astype(y.dtype)
@@ -322,6 +329,15 @@ def conv_transpose1d_phased(
 #   * grad wrt filter — phase-decomposed into ceil(K/stride) dense dot_generals
 #     contracting over (batch, time): grad_w[s*q+r] = sum_{b,t} x_phase_r[b,t+q]*ct[b,t].
 # Enabled with SEGAN_TPU_CONV_GRAD=custom (read at trace time).
+
+
+def _custom_grad_wins(cin: int, cout: int, stride: int) -> bool:
+    """Shape heuristic for SEGAN_TPU_CONV_GRAD=auto, from the v5e microbench
+    (tools/grad_conv_bench.py, BENCH.md r2): the custom backward wins decisively for
+    single-channel inputs (XLA's standalone grad lowering degenerates: 9231 -> 6 ms on
+    the G input conv) and modestly for deep fat-channel layers where the phase-dot
+    tiles well; XLA wins the mid channel range."""
+    return cin == 1 or cin * stride >= 2048
 
 
 def _grad_filter_dot(xp: jax.Array, ct: jax.Array, stride: int, K: int,

@@ -144,14 +144,17 @@ class Saver:
             todel = latest[0]
             try:
                 os.remove(os.path.join(self.save_path, "weights_" + todel))
-                latest = latest[1:]
             except FileNotFoundError:
+                # keep the reference's message, but still drop the dangling entry
+                # (a crash between payload and index writes must not wedge rotation)
                 print("ERROR: ckpt is not there?")
+            latest = latest[1:]
         latest += [model_path]
         ckpts["latest"] = latest
         ckpts["current"] = model_path
-        with open(self.ckpt_path, "w") as f:
-            f.write(json.dumps(ckpts, indent=2))
+        # payload FIRST, index second: a crash mid-save leaves an orphan payload
+        # (harmless, collected by the next rotation) instead of an index pointing
+        # at a checkpoint that does not exist (which would break resume)
         payload = {"state_dict": tree}
         if opt_tree is not None:
             payload["optimizer"] = opt_tree
@@ -160,6 +163,8 @@ class Saver:
         # np.savez appends .npz; keep the reference-style name by renaming
         if os.path.exists(out + ".npz"):
             os.replace(out + ".npz", out)
+        with open(self.ckpt_path, "w") as f:
+            f.write(json.dumps(ckpts, indent=2))
         return out
 
     def read_latest_checkpoint(self):
