@@ -29,12 +29,20 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
 
     import jax
 
+    multihost = jax.process_count() > 1
+
     def to_device(batch):
         out = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray) and v.dtype != object:
-                out[k] = jax.device_put(v, sharding) if sharding is not None \
-                    else jax.device_put(v)
+                if sharding is not None and multihost:
+                    # v is this process's LOCAL rows (a sharded DataLoader's
+                    # output); assemble the global batch across hosts
+                    out[k] = jax.make_array_from_process_local_data(sharding, v)
+                elif sharding is not None:
+                    out[k] = jax.device_put(v, sharding)
+                else:
+                    out[k] = jax.device_put(v)
             else:
                 out[k] = v
         return out
@@ -60,7 +68,16 @@ class DataLoader:
         pad_final: bool = True,
         seed: int = 0,
         prefetch: int = 4,
+        shard_id: int = 0,
+        num_shards: int = 1,
     ):
+        """shard_id/num_shards: multi-host data sharding. batch_size stays the
+        GLOBAL batch; every process walks the identical seeded global shuffle and
+        emits only its `batch_size // num_shards` rows of each global batch (rows
+        [shard_id*Bs:(shard_id+1)*Bs] of the padded global batch), so the global
+        batch assembled by parallel.shard_batch / make_array_from_process_local_data
+        is bit-identical to the single-host loader's. IO shards naturally: only the
+        local rows are gathered from the slice cache."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -70,6 +87,18 @@ class DataLoader:
         self.pad_final = pad_final
         self.rng = _random.Random(seed)
         self.prefetch = prefetch
+        if num_shards > 1:
+            if batch_size % num_shards:
+                raise ValueError(
+                    f"global batch_size {batch_size} must divide by num_shards "
+                    f"{num_shards}")
+            if not pad_final and not drop_last:
+                raise ValueError("sharded loading needs pad_final or drop_last "
+                                 "(shards of a ragged final batch would diverge)")
+        if not (0 <= shard_id < num_shards):
+            raise ValueError(f"shard_id {shard_id} out of range [0, {num_shards})")
+        self.shard_id = shard_id
+        self.num_shards = num_shards
 
     def __len__(self):
         n = len(self.dataset)
@@ -88,14 +117,22 @@ class DataLoader:
             yield b
 
     def _make_batch(self, indices):
-        batch = None
-        gather = getattr(self.dataset, "gather_batch", None)
-        if gather is not None and self.collate_fn is collate_batch:
-            batch = gather(indices)
-        if batch is None:
-            samples = [self.dataset[i] for i in indices]
-            batch = self.collate_fn(samples)
         n_valid = len(indices)
+        if self.num_shards > 1:
+            # materialize the padded GLOBAL row list, slice this shard's rows, and
+            # gather only those — the concatenation of all shards equals the
+            # single-host padded batch exactly
+            bs = self.batch_size // self.num_shards
+            global_rows = list(indices)
+            if n_valid < self.batch_size:
+                global_rows += [indices[-1]] * (self.batch_size - n_valid)
+            rows = global_rows[self.shard_id * bs:(self.shard_id + 1) * bs]
+            batch = self._gather(rows)
+            gmask = np.zeros((self.batch_size,), np.float32)
+            gmask[:n_valid] = 1.0
+            batch["mask"] = gmask[self.shard_id * bs:(self.shard_id + 1) * bs]
+            return batch
+        batch = self._gather(indices)
         if n_valid < self.batch_size and self.pad_final:
             pad = self.batch_size - n_valid
             for k, v in list(batch.items()):
@@ -109,6 +146,15 @@ class DataLoader:
         mask[:n_valid] = 1.0
         batch["mask"] = mask
         return batch
+
+    def _gather(self, indices):
+        gather = getattr(self.dataset, "gather_batch", None)
+        if gather is not None and self.collate_fn is collate_batch:
+            batch = gather(indices)
+            if batch is not None:
+                return batch
+        samples = [self.dataset[i] for i in indices]
+        return self.collate_fn(samples)
 
     def __iter__(self) -> Iterator[dict]:
         batches = list(self._batch_indices())

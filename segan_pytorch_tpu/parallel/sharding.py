@@ -38,7 +38,9 @@ def shard_batch(batch_tree, mesh: Mesh):
     across hosts (global batch = local batch x process_count)."""
     s = batch_sharding(mesh)
     if jax.process_count() > 1:
-        return jax.tree.map(
-            lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
-            batch_tree)
+        def to_global(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return x  # already a global array (device_prefetch assembled it)
+            return jax.make_array_from_process_local_data(s, np.asarray(x))
+        return jax.tree.map(to_global, batch_tree)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch_tree)

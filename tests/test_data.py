@@ -92,6 +92,39 @@ class TestLoader:
         assert last["clean"].shape[0] == 3  # padded to full batch
         assert last["mask"].sum() <= 3
 
+    def test_sharded_loader_reassembles_global_batches(self, wav_dirs, tmp_path):
+        """N sharded loaders (same seed) concatenated row-wise must equal the
+        single-host loader exactly — including the padded ragged final batch and
+        its mask. This is the multi-host data path (train.py shard_id/num_shards +
+        make_array_from_process_local_data assembly)."""
+        from segan_pytorch_tpu.data import SEDataset, DataLoader
+
+        clean_d, noisy_d, _ = wav_dirs
+        ds = SEDataset(clean_d, noisy_d, 0.95, cache_dir=str(tmp_path / "s"),
+                       slice_size=16384, stride=0.5)
+        B, S = 4, 2
+        ref = list(DataLoader(ds, batch_size=B, shuffle=True, seed=3))
+        shards = [list(DataLoader(ds, batch_size=B, shuffle=True, seed=3,
+                                  shard_id=s, num_shards=S)) for s in range(S)]
+        assert all(len(sh) == len(ref) for sh in shards)
+        for bi, gb in enumerate(ref):
+            for key in ("clean", "noisy", "mask"):
+                got = np.concatenate([shards[s][bi][key] for s in range(S)], axis=0)
+                np.testing.assert_array_equal(got, gb[key], err_msg=f"{bi}/{key}")
+
+    def test_sharded_loader_validates_args(self, wav_dirs, tmp_path):
+        from segan_pytorch_tpu.data import SEDataset, DataLoader
+
+        clean_d, noisy_d, _ = wav_dirs
+        ds = SEDataset(clean_d, noisy_d, 0.95, cache_dir=str(tmp_path / "v"),
+                       slice_size=16384, stride=0.5)
+        with pytest.raises(ValueError):
+            DataLoader(ds, batch_size=5, num_shards=2)  # not divisible
+        with pytest.raises(ValueError):
+            DataLoader(ds, batch_size=4, num_shards=2, shard_id=2)
+        with pytest.raises(ValueError):
+            DataLoader(ds, batch_size=4, num_shards=2, pad_final=False)
+
 
 class TestAdditive:
     def test_snr_scaling(self, tmp_path):

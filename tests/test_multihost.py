@@ -58,6 +58,37 @@ m = {k: float(v) for k, v in metrics.items()}
 for k, v in m.items():
     assert np.isfinite(v), (k, v)
 print("MHOK", pid, " ".join(f"{k}={v:.6f}" for k, v in sorted(m.items())), flush=True)
+
+# --- phase 2: the sharded-DataLoader product path (train.py semantics) ---
+# every process walks the same seeded shuffle, loads only its rows, and
+# device_prefetch assembles the global batch via make_array_from_process_local_data
+from segan_pytorch_tpu.data.loader import DataLoader, device_prefetch
+from segan_pytorch_tpu.parallel import batch_sharding
+
+class ToyDS:
+    def __len__(self):
+        return 22  # not a multiple of GLOBAL_B: exercises the padded final batch
+    def __getitem__(self, i):
+        tt = np.arange(1024) / 16000.0
+        c = (np.sin(2 * np.pi * (150 + 10 * i) * tt) * 0.4).astype(np.float32)
+        return {"uttname": f"u{i}", "clean": c,
+                "noisy": c + 0.05 * np.random.RandomState(i).randn(1024).astype(np.float32),
+                "slice_idx": 0}
+
+dl = DataLoader(ToyDS(), batch_size=GLOBAL_B, shuffle=True, seed=5,
+                shard_id=pid, num_shards=nproc)
+shard = batch_sharding(segan.mesh)
+rngk = jax.random.PRNGKey(100)
+for batch in device_prefetch(iter(dl), sharding=shard):
+    clean = batch["clean"][..., None]
+    noisy = batch["noisy"][..., None]
+    assert clean.shape[0] == GLOBAL_B, clean.shape  # assembled GLOBAL batch
+    rngk, k = jax.random.split(rngk)
+    metrics, _, _ = segan.train_step(clean, noisy, batch["mask"], k, 100.0)
+m2 = {k: float(v) for k, v in metrics.items()}
+for k, v in m2.items():
+    assert np.isfinite(v), (k, v)
+print("MHLOADER", pid, " ".join(f"{k}={v:.6f}" for k, v in sorted(m2.items())), flush=True)
 """
 
 
@@ -88,3 +119,7 @@ def test_two_process_train_step(tmp_path):
     m0 = lines[0].split(" ", 2)[2]
     m1 = lines[1].split(" ", 2)[2]
     assert m0 == m1, (m0, m1)
+    # phase 2: sharded-DataLoader path — again identical across hosts
+    ld = [next(ln for ln in o.splitlines() if ln.startswith("MHLOADER"))
+          for o in outs]
+    assert ld[0].split(" ", 2)[2] == ld[1].split(" ", 2)[2], ld

@@ -161,8 +161,13 @@ def main(cfg):
                          slice_workers=cfg.slice_workers,
                          preemph_norm=cfg.preemph_norm,
                          random_scale=cfg.random_scale)
+    # multi-host: every process walks the identical seeded shuffle and loads only
+    # its rows of each global batch (assembled on device by device_prefetch via
+    # make_array_from_process_local_data)
     dloader = DataLoader(dset, batch_size=cfg.batch_size, shuffle=True,
-                         num_workers=cfg.num_workers, seed=cfg.seed)
+                         num_workers=cfg.num_workers, seed=cfg.seed,
+                         shard_id=jax.process_index(),
+                         num_shards=jax.process_count())
     if cfg.clean_valset is not None:
         if cfg.h5:
             va_dset = SEH5Dataset(cfg.h5_data_root, split='valid',
