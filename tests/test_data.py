@@ -304,3 +304,58 @@ class TestNativeLoader:
         np.testing.assert_allclose(b_native["noisy"], b_py["noisy"], atol=2e-7)
         assert b_native["uttname"] == b_py["uttname"]
         np.testing.assert_array_equal(b_native["slice_idx"], b_py["slice_idx"])
+
+
+class TestH5Path:
+    def test_make_h5_and_seh5dataset_roundtrip(self, wav_dirs, tmp_path):
+        """tools/make_h5.py builds the {split}.h5 the reference consumes
+        (ref se_dataset.py:527-568: 'data'=clean chunks, 'label'=noisy chunks);
+        SEH5Dataset + DataLoader must serve fixed-shape batches from it."""
+        import subprocess
+        import sys
+
+        from segan_pytorch_tpu.data import DataLoader
+        from segan_pytorch_tpu.data.se_dataset import SEH5Dataset, SEDataset
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        clean_d, noisy_d, root = wav_dirs
+        out = subprocess.run(
+            [sys.executable, "tools/make_h5.py", "--clean_dir", clean_d,
+             "--noisy_dir", noisy_d, "--out_dir", str(tmp_path),
+             "--split", "train", "--slice_size", "4096", "--stride", "0.5"],
+            cwd=repo, capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr[-2000:]
+        ds = SEH5Dataset(str(tmp_path), "train", preemph=0.95)
+        assert len(ds) > 0
+        s = ds[0]
+        assert s["clean"].shape == (4096,) and s["noisy"].shape == (4096,)
+        # chunk content parity with the wav-path dataset (same slicing chain)
+        ref = SEDataset(clean_d, noisy_d, 0.95,
+                        cache_dir=str(tmp_path / "cache"),
+                        slice_size=4096, stride=0.5)
+        assert len(ds) == len(ref)
+        r0 = ref[0]
+        np.testing.assert_allclose(s["clean"], r0["clean"], atol=1e-6)
+        np.testing.assert_allclose(s["noisy"], r0["noisy"], atol=1e-6)
+        batches = list(DataLoader(ds, batch_size=4, shuffle=False))
+        assert batches[0]["clean"].shape == (4, 4096)
+        assert batches[-1]["mask"].shape == (4,)
+
+    def test_seh5dataset_random_scale(self, wav_dirs, tmp_path):
+        import subprocess
+        import sys
+
+        from segan_pytorch_tpu.data.se_dataset import SEH5Dataset
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        clean_d, noisy_d, _ = wav_dirs
+        subprocess.run(
+            [sys.executable, "tools/make_h5.py", "--clean_dir", clean_d,
+             "--noisy_dir", noisy_d, "--out_dir", str(tmp_path),
+             "--split", "valid", "--slice_size", "4096"],
+            cwd=repo, capture_output=True, text=True, check=True)
+        ds = SEH5Dataset(str(tmp_path), "valid", preemph=0.95,
+                         random_scale=[2.0])
+        base = SEH5Dataset(str(tmp_path), "valid", preemph=0.95)
+        np.testing.assert_allclose(ds[0]["clean"], 2.0 * base[0]["clean"],
+                                   rtol=1e-6)
