@@ -1,0 +1,130 @@
+"""End-to-end test of the serving surface (serve.py): spawn the server on a tiny
+model checkpoint, drive it over HTTP (healthz, enhance, determinism, error paths)."""
+import io
+import json
+import os
+import subprocess
+import sys
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from scipy.io import wavfile
+
+    import jax
+
+    from segan_pytorch_tpu.utils.config import SEGANConfig
+    from segan_pytorch_tpu.models import SEGAN
+    from segan_pytorch_tpu.utils.checkpoint import Saver
+
+    root = tmp_path_factory.mktemp("serve")
+    cfg = SEGANConfig(slice_size=1024, genc_fmaps=[8, 16, 32],
+                      genc_poolings=[4, 4, 4], z_dim=32,
+                      denc_fmaps=[8, 16, 32], denc_poolings=[4, 4, 4],
+                      dpool_slen=16, batch_size=1, save_path=str(root))
+    segan = SEGAN(cfg)
+    segan.init_state(batch_size=1)
+    gs = Saver(str(root), prefix="EOE_G-")
+    ds = Saver(str(root), prefix="EOE_D-")
+    segan.save(gs, ds, 1)
+    with open(root / "train.opts", "w") as f:
+        f.write(cfg.to_json())
+
+    port = 29777
+    env = dict(os.environ, SEGAN_TPU_PLATFORM="cpu", PYTHONPATH=REPO)
+    proc = subprocess.Popen(
+        [sys.executable, "serve.py",
+         "--g_pretrained_ckpt", str(root / "weights_EOE_G-Generator-1.ckpt"),
+         "--cfg_file", str(root / "train.opts"),
+         "--port", str(port), "--warm_seconds", "0.2"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    base = f"http://127.0.0.1:{port}"
+    deadline = time.time() + 180
+    last_err = None
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            out, _ = proc.communicate()
+            raise RuntimeError(f"server died:\n{out[-3000:]}")
+        try:
+            with urllib.request.urlopen(base + "/healthz", timeout=2) as r:
+                if r.status == 200:
+                    break
+        except Exception as e:
+            last_err = e
+            time.sleep(1.0)
+    else:
+        proc.kill()
+        raise RuntimeError(f"server never became healthy: {last_err}")
+    yield base
+    proc.kill()
+    proc.wait(timeout=10)
+
+
+def _wav_bytes(n=3000, seed=0, dtype=np.int16):
+    from scipy.io import wavfile
+
+    rng = np.random.RandomState(seed)
+    t = np.arange(n) / 16000.0
+    x = 0.3 * np.sin(2 * np.pi * 220 * t) + 0.02 * rng.randn(n)
+    if dtype == np.int16:
+        data = (np.clip(x, -1, 1) * 32767).astype(np.int16)
+    else:
+        data = x.astype(np.float32)
+    buf = io.BytesIO()
+    wavfile.write(buf, 16000, data)
+    return buf.getvalue()
+
+
+class TestServe:
+    def test_healthz(self, server):
+        with urllib.request.urlopen(server + "/healthz", timeout=10) as r:
+            info = json.loads(r.read())
+        assert info["status"] == "ok"
+        assert info["model"] == "SEGAN"
+        assert info["slice_size"] == 1024
+
+    def test_enhance_roundtrip_and_determinism(self, server):
+        from scipy.io import wavfile
+
+        body = _wav_bytes()
+        outs = []
+        for _ in range(2):
+            req = urllib.request.Request(server + "/enhance?seed=5", data=body,
+                                         headers={"Content-Type": "audio/wav"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                assert r.status == 200
+                assert float(r.headers["X-Enhance-Seconds"]) > 0
+                rate, enh = wavfile.read(io.BytesIO(r.read()))
+            assert rate == 16000
+            assert enh.shape == (3000,)
+            assert enh.dtype == np.float32
+            assert np.all(np.isfinite(enh))
+            outs.append(enh)
+        np.testing.assert_array_equal(outs[0], outs[1])  # same seed -> same z
+
+    def test_enhance_pcm16_format(self, server):
+        from scipy.io import wavfile
+
+        req = urllib.request.Request(server + "/enhance?format=pcm16",
+                                     data=_wav_bytes(n=2048))
+        with urllib.request.urlopen(req, timeout=120) as r:
+            rate, enh = wavfile.read(io.BytesIO(r.read()))
+        assert enh.dtype == np.int16 and enh.shape == (2048,)
+
+    def test_bad_input_is_400_and_server_survives(self, server):
+        req = urllib.request.Request(server + "/enhance", data=b"not a wav")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+        # still healthy afterwards
+        with urllib.request.urlopen(server + "/healthz", timeout=10) as r:
+            assert r.status == 200
