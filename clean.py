@@ -16,28 +16,14 @@ def main(opts):
     assert opts.test_files is not None
     assert opts.g_pretrained_ckpt is not None
 
-    import jax
-
-    from segan_pytorch_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
-
-    from segan_pytorch_tpu.utils.config import load_train_opts
-    from segan_pytorch_tpu.models import SEGAN, WSEGAN
+    from segan_pytorch_tpu.utils.engine import build_enhancement_engine
     from segan_pytorch_tpu.data.wav_io import read_wav_raw, write_wav
     from segan_pytorch_tpu.ops.signal import normalize_wave_minmax, pre_emphasize_np
 
-    cfg = load_train_opts(opts.cfg_file)
+    cfg, segan = build_enhancement_engine(opts.cfg_file, opts.g_pretrained_ckpt,
+                                          opts.seed)
     print('Loaded train config: ')
     print(cfg.to_json())
-    if cfg.wsegan:
-        segan = WSEGAN(cfg)
-    else:
-        segan = SEGAN(cfg)
-    segan.init_state(jax.random.PRNGKey(opts.seed), batch_size=1)
-    # seed the per-utterance z stream from --seed (each wav below gets a fresh z,
-    # matching the reference's per-utterance in-forward randn, ref model.py:144-146)
-    segan._gen_rng = jax.random.PRNGKey(opts.seed)
-    segan.g_load_pretrained(opts.g_pretrained_ckpt, True)
 
     if opts.h5:
         import h5py

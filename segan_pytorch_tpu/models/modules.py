@@ -145,14 +145,23 @@ class BatchNorm1d(nn.Module):
                     jnp.sum(w, red) * math.prod(x.shape[1:-1]), 1.0)
                 n = n.reshape(G, 1)
                 mean = jnp.sum(xg * w, red) / n  # (G, C)
-                var = jnp.sum((xg * xg) * w, red) / n - mean * mean
+                if onepass:
+                    var = jnp.sum((xg * xg) * w, red) / n - mean * mean
+                else:
+                    bshape0 = (G,) + (1,) * (xg.ndim - 2) + (C,)
+                    var = jnp.sum(((xg - mean.reshape(bshape0)) ** 2) * w,
+                                  red) / n
             else:
                 n = x.shape[0] // G
                 for d in red[1:]:
                     n *= xg.shape[d]
                 n = jnp.full((G, 1), float(n), jnp.float32)
                 mean = jnp.sum(xg, red) / n
-                var = jnp.sum(xg * xg, red) / n - mean * mean
+                if onepass:
+                    var = jnp.sum(xg * xg, red) / n - mean * mean
+                else:
+                    bshape0 = (G,) + (1,) * (xg.ndim - 2) + (C,)
+                    var = jnp.sum((xg - mean.reshape(bshape0)) ** 2, red) / n
             var = jnp.maximum(var, 0.0)
             if not self.is_initializing():
                 unbiased = var * (n / jnp.maximum(n - 1, 1))

@@ -571,10 +571,12 @@ class SEGAN:
                 rng, krun = jax.random.split(rng)
                 metrics, Genh, z = self.train_step(clean, noisy, mask, krun, l1_weight)
                 if noisy_samples is None:
-                    noisy_samples = np.asarray(noisy[:20])
-                    clean_samples = np.asarray(clean[:20])
+                    from ..parallel import local_host_rows
+
+                    noisy_samples = local_host_rows(noisy, 20)
+                    clean_samples = local_host_rows(clean, 20)
                     if z is not None:
-                        z_sample = np.asarray(z[:20])
+                        z_sample = local_host_rows(z, 20)
                 if profiling:
                     jax.block_until_ready(metrics)  # accurate per-step timing
                 timer.stop()
@@ -612,9 +614,11 @@ class SEGAN:
                     self.writer.scalar("D_fake", m["d_fake"], iteration)
                     self.writer.scalar("G_adv", m["g_adv"], iteration)
                     self.writer.scalar("G_l1", m["g_l1"], iteration)
-                    self.writer.histogram("Gz", np.asarray(Genh), iteration)
-                    self.writer.histogram("clean", np.asarray(clean), iteration)
-                    self.writer.histogram("noisy", np.asarray(noisy), iteration)
+                    from ..parallel import local_host_rows
+
+                    self.writer.histogram("Gz", local_host_rows(Genh), iteration)
+                    self.writer.histogram("clean", local_host_rows(clean), iteration)
+                    self.writer.histogram("noisy", local_host_rows(noisy), iteration)
                     self.writer.weight_norms(self.state.g_params, "Gtotal", iteration)
                     self.writer.weight_norms(self.state.d_params, "Dtotal", iteration)
                     if not cfg.no_train_gen:

@@ -39,6 +39,7 @@ from .segan import (
 )
 from ..ops.signal import de_emphasize_np, make_div_n
 from ..ops.stft import power_spectrum_db
+from ..parallel import local_host_rows
 from ..utils.config import SEGANConfig
 
 _INTERF_FREQS = (250.0, 1000.0, 4000.0)
@@ -256,10 +257,12 @@ class WSEGAN(SEGAN):
             timings.append(end_t - beg_t)
             beg_t = timeit.default_timer()
             if noisy_samples is None:
-                noisy_samples = np.asarray(noisy[:20])
-                clean_samples = np.asarray(clean[:20])
+                from ..parallel import local_host_rows
+
+                noisy_samples = local_host_rows(noisy, 20)
+                clean_samples = local_host_rows(clean, 20)
                 if z is not None:
-                    z_sample = np.asarray(z[:20])
+                    z_sample = local_host_rows(z, 20)
             if iteration % log_freq == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 print(f"Iter {iteration}/{total_iters} ({num_batches} bpe)"
@@ -270,7 +273,9 @@ class WSEGAN(SEGAN):
                 self.writer.scalar("G_loss", m["g_loss"], iteration)
                 self.writer.scalar("G_adv_loss", m["g_adv"], iteration)
                 self.writer.scalar("G_pow_loss", m["pow_loss"], iteration)
-                self.writer.histogram("Gz", np.asarray(Genh), iteration)
+                from ..parallel import local_host_rows
+
+                self.writer.histogram("Gz", local_host_rows(Genh), iteration)
                 self.writer.weight_norms(self.state.g_params, "Gtotal", iteration)
                 self.writer.weight_norms(self.state.d_params, "Dtotal", iteration)
                 self._log_skip_alphas(iteration)
@@ -448,17 +453,19 @@ class AEWSEGAN(WSEGAN):
             timings.append(end_t - beg_t)
             beg_t = timeit.default_timer()
             if noisy_samples is None:
-                noisy_samples = np.asarray(noisy[:20])
-                clean_samples = np.asarray(clean[:20])
+                from ..parallel import local_host_rows
+
+                noisy_samples = local_host_rows(noisy, 20)
+                clean_samples = local_host_rows(clean, 20)
                 if z is not None:
-                    z_sample = np.asarray(z[:20])
+                    z_sample = local_host_rows(z, 20)
             if iteration % log_freq == 0:
                 loss = float(metrics["loss"])
                 # power loss logged but not backwarded (ref model.py:842-857)
-                genh_pow = np.asarray(power_spectrum_db(jnp.asarray(Genh)[..., 0],
-                                                        cfg.n_fft))
-                clean_pow = np.asarray(power_spectrum_db(jnp.asarray(clean)[..., 0],
-                                                         cfg.n_fft))
+                genh_pow = np.asarray(power_spectrum_db(
+                    jnp.asarray(local_host_rows(Genh))[..., 0], cfg.n_fft))
+                clean_pow = np.asarray(power_spectrum_db(
+                    jnp.asarray(local_host_rows(clean))[..., 0], cfg.n_fft))
                 pow_loss = float(np.mean(np.abs(genh_pow - clean_pow)))
                 print(f"Iter {iteration}/{total_iters} ({num_batches} bpe)"
                       f" g_l2_loss:{loss:.4f}, pow_loss: {pow_loss:.4f},"

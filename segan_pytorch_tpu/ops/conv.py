@@ -210,6 +210,11 @@ def conv_transpose1d_blocked(
     xb = jnp.pad(xb, ((0, 0), (max(pad_l, 0), max(pad_r, 0)), (0, 0)))
     if pad_l < 0:
         xb = xb[:, -pad_l:, :]
+    if pad_r < 0:
+        # heavy padding can make the valid output window END before the last input
+        # block (U - 1 + d_max < n_blocks - 1): trim the surplus trailing blocks,
+        # mirroring the pad_l < 0 case
+        xb = xb[:, :pad_r, :]
     wp = _blocked_transpose_kernel(kernel, stride, oblock, padding, d_min, K_b)
     dn = lax.conv_dimension_numbers(xb.shape, wp.shape, ("NWC", "WIO", "NWC"))
     yb = lax.conv_general_dilated(

@@ -4,5 +4,6 @@ from .sharding import (  # noqa: F401
     shard_batch,
     batch_sharding,
     replicated_sharding,
+    local_host_rows,
 )
 from .inference import enhance_sharded, chunk_grid, overlap_add  # noqa: F401

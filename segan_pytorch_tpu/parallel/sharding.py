@@ -44,3 +44,19 @@ def shard_batch(batch_tree, mesh: Mesh):
             return jax.make_array_from_process_local_data(s, np.asarray(x))
         return jax.tree.map(to_global, batch_tree)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch_tree)
+
+
+def local_host_rows(x, n: int | None = None) -> np.ndarray:
+    """Host numpy view of the process-ADDRESSABLE leading rows of `x`.
+
+    np.asarray on a cross-host global array raises ('spans non-addressable
+    devices'); sample dumps and histogram logging only need a representative
+    slab, so each process reads its own shards (row-sorted). Fully-addressable
+    arrays (single-host) pass straight through."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        shards = sorted(x.addressable_shards,
+                        key=lambda s: (s.index[0].start or 0))
+        arr = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    else:
+        arr = np.asarray(x)
+    return arr if n is None else arr[:n]

@@ -28,21 +28,25 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
-def build_engine(opts):
-    import jax
+def _as_int16(wav):
+    """Coerce any scipy-wavfile sample dtype to int16 scale, so the reference's
+    int16-domain normalize_wave_minmax applies uniformly (float WAVs come back in
+    [-1, 1], int32 at ±2^31, uint8 at 0..255 — feeding those in raw would collapse
+    the normalized signal to near-silence)."""
+    import numpy as np
 
-    from segan_pytorch_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
-
-    from segan_pytorch_tpu.utils.config import load_train_opts
-    from segan_pytorch_tpu.models import SEGAN, WSEGAN
-
-    cfg = load_train_opts(opts.cfg_file)
-    segan = (WSEGAN if cfg.wsegan else SEGAN)(cfg)
-    segan.init_state(jax.random.PRNGKey(opts.seed), batch_size=1)
-    segan._gen_rng = jax.random.PRNGKey(opts.seed)
-    segan.g_load_pretrained(opts.g_pretrained_ckpt, True)
-    return cfg, segan
+    wav = np.asarray(wav)
+    if wav.ndim > 1:
+        wav = wav[:, 0]  # first channel of multi-channel input
+    if wav.dtype == np.int16:
+        return wav
+    if wav.dtype in (np.float32, np.float64):
+        return (np.clip(wav, -1.0, 1.0) * 32767.0).astype(np.int16)
+    if wav.dtype == np.int32:
+        return (wav >> 16).astype(np.int16)
+    if wav.dtype == np.uint8:
+        return ((wav.astype(np.int16) - 128) << 8).astype(np.int16)
+    raise ValueError(f"unsupported wav dtype {wav.dtype}")
 
 
 def make_handler(cfg, segan, state):
@@ -101,7 +105,7 @@ def make_handler(cfg, segan, state):
                 return self._json(400, {"error": f"expected 16 kHz, got {rate}"})
             try:
                 pwav = pre_emphasize_np(
-                    np.asarray(normalize_wave_minmax(np.asarray(wav))), cfg.preemph)
+                    np.asarray(normalize_wave_minmax(_as_int16(wav))), cfg.preemph)
                 with lock:
                     rng = None
                     if "seed" in params:
@@ -144,7 +148,10 @@ def main():
 
     import numpy as np
 
-    cfg, segan = build_engine(opts)
+    from segan_pytorch_tpu.utils.engine import build_enhancement_engine
+
+    cfg, segan = build_enhancement_engine(opts.cfg_file, opts.g_pretrained_ckpt,
+                                          opts.seed)
     state = {"warm_s": 0.0, "requests": 0, "verbose": opts.verbose}
     if opts.warm_seconds > 0:
         t0 = time.perf_counter()

@@ -109,6 +109,7 @@ class TestConvTranspose1d:
             (4, 100, 31, 13, 8, 2, None),
             (2, 32, 4, 1, 4, 3, 2),
             (4, 10, 8, 2, 4, 3, 16),
+            (4, 16, 4, 13, 4, 3, 4),   # 2*pad >> K: negative right block padding
         ],
     )
     def test_blocked_equals_dilated(self, stride, L, k, pad, cin, cout, oblock):

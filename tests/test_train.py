@@ -430,8 +430,9 @@ class TestFusedDPair:
                                        err_msg=k)
         np.testing.assert_allclose(g0, g1, atol=1e-6)
 
-    def test_fused_respects_mask(self):
+    def test_fused_respects_mask(self, monkeypatch):
         """Padded rows (mask=0) must not leak into either group's BN stats."""
+        monkeypatch.setenv("SEGAN_TPU_FUSE_D", "1")  # actually take the fused path
         cfg = small_cfg()
         segan = SEGAN(cfg)
         segan.init_state(batch_size=4)
