@@ -41,6 +41,11 @@ def main():
                              "'tiny' = small model for DP-mechanics/overhead runs on "
                              "the virtual CPU mesh, where the full model is too slow "
                              "to compile")
+    parser.add_argument("--engine", type=str, default="segan",
+                        choices=["segan", "wsegan"],
+                        help="'wsegan' benches the WSEGAN step at its canonical "
+                             "flag set (snorm G/D, adam, misalign_pair — "
+                             "run_wsegan_train.sh; canonical batch 150)")
     args = parser.parse_args()
 
     import jax
@@ -49,7 +54,7 @@ def main():
     enable_compilation_cache()
 
     from segan_pytorch_tpu.utils.config import SEGANConfig
-    from segan_pytorch_tpu.models import SEGAN
+    from segan_pytorch_tpu.models import SEGAN, WSEGAN
 
     n_chips = max(args.dp, 1)
     if len(jax.devices()) < n_chips:
@@ -62,10 +67,14 @@ def main():
                     genc_poolings=[4, 4, 4], z_dim=64,
                     denc_fmaps=[16, 32, 64], denc_poolings=[4, 4, 4],
                     dpool_slen=64)
+    extra = {}
+    if args.engine == "wsegan":
+        extra = dict(wsegan=True, gnorm_type="snorm", dnorm_type="snorm",
+                     opt="adam", misalign_pair=True)
     cfg = SEGANConfig(batch_size=args.batch_size, save_path="/tmp/bench_segan",
                       compute_dtype=args.compute_dtype, no_train_gen=True,
-                      use_pallas=args.use_pallas, dp=args.dp, **arch)
-    segan = SEGAN(cfg)
+                      use_pallas=args.use_pallas, dp=args.dp, **arch, **extra)
+    segan = (WSEGAN if args.engine == "wsegan" else SEGAN)(cfg)
     segan.init_state(batch_size=args.batch_size)
     segan.prepare_train(args.batch_size)
 
@@ -84,24 +93,35 @@ def main():
     # warmup (compile).  NB: completion is forced with a D2H scalar fetch, NOT
     # jax.block_until_ready — the latter can return before execution finishes on the
     # remote 'axon' tunnel platform, silently inflating throughput.
+    if args.engine == "wsegan":
+        amask = jnp.zeros((B,), jnp.float32)  # no 'additive' utterances
+
+        def one_step(k):
+            return segan.train_step(clean, noisy, mask, amask, k, 100.0)
+        fetch_key = "d_real"
+    else:
+        def one_step(k):
+            return segan.train_step(clean, noisy, mask, k, 100.0)
+        fetch_key = "d_real"
     metrics = None
     for i in range(args.warmup):
         key, k = jax.random.split(key)
-        metrics, _, _ = segan.train_step(clean, noisy, mask, k, 100.0)
+        metrics, _, _ = one_step(k)
     if metrics is not None:
-        float(metrics["d_real"])
+        float(metrics[fetch_key])
 
     t0 = time.perf_counter()
     for i in range(args.steps):
         key, k = jax.random.split(key)
-        metrics, _, _ = segan.train_step(clean, noisy, mask, k, 100.0)
-    float(metrics["d_real"])  # forces the whole dependent step chain
+        metrics, _, _ = one_step(k)
+    float(metrics[fetch_key])  # forces the whole dependent step chain
     dt = time.perf_counter() - t0
 
     steps_per_sec = args.steps / dt
     slices_per_sec_per_chip = steps_per_sec * B / n_chips
     result = {
         "metric": "train_slices_per_sec_per_chip",
+        **({"engine": "wsegan"} if args.engine == "wsegan" else {}),
         "value": round(slices_per_sec_per_chip, 2),
         "unit": "slices/s/chip",
         "vs_baseline": round(slices_per_sec_per_chip / BASELINE_SLICES_PER_SEC_EST, 3),

@@ -203,6 +203,9 @@ class WSEGAN(SEGAN):
             self.state, clean, noisy, mask, additive_mask, rng,
             jnp.float32(l1_weight))
         self.state = new_state
+        # arg exemplars for step_flops() (bench --engine wsegan MFU)
+        self._flops_args = (new_state, clean, noisy, mask, additive_mask, rng,
+                            jnp.float32(l1_weight))
         return metrics, Genh, z
 
     def train(self, cfg: SEGANConfig, dloader, criterion=None, l1_init: float = 100.0,
