@@ -52,7 +52,7 @@ def main(opts):
             tbname = 'tfile_{}.wav'.format(t_i)
             wav = np.asarray(twav, np.float32).reshape(-1)
             twav = tbname
-        g_wav, g_c = segan.generate(wav)
+        g_wav, g_c = segan.generate(wav, overlap=opts.overlap)
         out_path = os.path.join(opts.synthesis_path, tbname)
         if opts.soundfile:
             write_wav(out_path, g_wav, 16000, subtype='pcm16')
@@ -69,6 +69,11 @@ if __name__ == '__main__':
     parser.add_argument('--test_files', type=str, nargs='+', default=None)
     parser.add_argument('--h5', action='store_true', default=False)
     parser.add_argument('--seed', type=int, default=111)
+    parser.add_argument('--overlap', type=float, default=0.0,
+                        help='chunk overlap fraction in [0, 0.5): cross-fade '
+                             'overlapping enhanced chunks (hann overlap-add) '
+                             'instead of hard chunk boundaries; 0 = '
+                             'reference-exact concatenation')
     parser.add_argument('--synthesis_path', type=str, default='segan_samples')
     parser.add_argument('--soundfile', action='store_true', default=False,
                         help='Write PCM16 wavs (like the ref soundfile path, clean.py:76)')

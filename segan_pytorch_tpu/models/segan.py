@@ -408,7 +408,7 @@ class SEGAN:
 
     def generate(self, inwav: np.ndarray, z: Optional[np.ndarray] = None,
                  chunk_buckets: bool = True,
-                 rng=None) -> Tuple[np.ndarray, np.ndarray]:
+                 rng=None, overlap: float = 0.0) -> Tuple[np.ndarray, np.ndarray]:
         """Chunked enhancement of one (already normalized+pre-emphasized) waveform.
 
         The reference loops sequentially over 16384-sample chunks, drawing a FRESH z
@@ -420,17 +420,35 @@ class SEGAN:
         cfg.seed, overridable per call via `rng`), so two utterances get different z
         while chunks within one utterance share it.  `chunk_buckets` pads the chunk
         count to the next power of two to bound the number of compiled shapes.
+
+        `overlap` in [0, 0.5): beyond-reference quality option — enhance an
+        overlapping chunk grid and cross-fade (hann-ramped overlap-add,
+        parallel/inference.py) instead of hard-concatenating chunk boundaries.
+        0 (default) is the reference-exact path.
         """
         N = self.cfg.slice_size
         T = int(np.asarray(inwav).reshape(-1).shape[0])
         wav = np.asarray(inwav, np.float32).reshape(-1)
-        n_chunks = -(-T // N)
+        hop = N
+        if overlap > 0:
+            from ..parallel.inference import chunk_grid
+
+            grid, hop, n_chunks = chunk_grid(wav, N, overlap)
+        else:
+            n_chunks = -(-T // N)
         n_padded = n_chunks
         if chunk_buckets and n_chunks > 1:
             n_padded = 1 << (n_chunks - 1).bit_length()
-        x = np.zeros((n_padded * N,), np.float32)
-        x[:T] = wav
-        x = x.reshape(n_padded, N, 1)
+        if overlap > 0:
+            if n_padded > n_chunks:
+                grid = np.concatenate(
+                    [grid, np.zeros((n_padded - n_chunks, N, 1), np.float32)],
+                    axis=0)
+            x = grid
+        else:
+            x = np.zeros((n_padded * N,), np.float32)
+            x[:T] = wav
+            x = x.reshape(n_padded, N, 1)
         if not self.G.no_z:
             if z is None:
                 if rng is None:
@@ -446,7 +464,12 @@ class SEGAN:
             zb = None
         out, hall = self._gfwd_jit()(self.state.g_params, self.state.g_vars,
                                      jnp.asarray(x), zb)
-        c_res = np.asarray(out).reshape(-1)[:T]
+        if overlap > 0:
+            from ..parallel.inference import overlap_add
+
+            c_res = overlap_add(np.asarray(out)[:n_chunks], hop, T)
+        else:
+            c_res = np.asarray(out).reshape(-1)[:T]
         c_res = de_emphasize_np(c_res, self.preemph)
         enc_keys = [k for k in hall.keys() if k.startswith("enc_") and "zc" not in k]
         g_c = np.asarray(hall[f"enc_{max(int(k.split('_')[1]) for k in enc_keys)}"])

@@ -301,9 +301,12 @@ class WSEGAN(SEGAN):
                 if not isinstance(v, dict):
                     self.writer.histogram(f"skip_{name}", np.asarray(v), iteration)
 
-    def generate(self, inwav, z=None, chunk_buckets: bool = False, rng=None):
+    def generate(self, inwav, z=None, chunk_buckets: bool = False, rng=None,
+                 overlap: float = 0.0):
         """Single full pass padded to a multiple of 1024 (ref model.py:755-766).
-        z is fresh per utterance (drawn in-forward by the reference generator)."""
+        z is fresh per utterance (drawn in-forward by the reference generator).
+        `overlap` is accepted for interface parity with SEGAN.generate and ignored:
+        the WSEGAN path has no chunk boundaries to cross-fade."""
         wav = np.asarray(inwav, np.float32).reshape(-1)
         ori_len = wav.shape[0]
         p_wav = np.asarray(make_div_n(jnp.asarray(wav), 1024))

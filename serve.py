@@ -106,12 +106,15 @@ def make_handler(cfg, segan, state):
             try:
                 pwav = pre_emphasize_np(
                     np.asarray(normalize_wave_minmax(_as_int16(wav))), cfg.preemph)
+                overlap = float(params.get("overlap", 0.0))
+                if not (0.0 <= overlap < 0.5):
+                    return self._json(400, {"error": "overlap must be in [0, 0.5)"})
                 with lock:
                     rng = None
                     if "seed" in params:
                         rng = jax.random.PRNGKey(int(params["seed"]))
                     t0 = time.perf_counter()
-                    enh, _ = segan.generate(pwav, rng=rng)
+                    enh, _ = segan.generate(pwav, rng=rng, overlap=overlap)
                     dt = time.perf_counter() - t0
                     state["requests"] += 1
             except Exception as e:  # surface model errors as 500s, keep serving

@@ -128,3 +128,21 @@ class TestServe:
         # still healthy afterwards
         with urllib.request.urlopen(server + "/healthz", timeout=10) as r:
             assert r.status == 200
+
+
+class TestServeOverlap:
+    def test_enhance_with_overlap(self, server):
+        from scipy.io import wavfile
+
+        req = urllib.request.Request(server + "/enhance?seed=2&overlap=0.25",
+                                     data=_wav_bytes(n=2500))
+        with urllib.request.urlopen(req, timeout=120) as r:
+            rate, enh = wavfile.read(io.BytesIO(r.read()))
+        assert enh.shape == (2500,) and np.all(np.isfinite(enh))
+
+    def test_bad_overlap_is_400(self, server):
+        req = urllib.request.Request(server + "/enhance?overlap=0.9",
+                                     data=_wav_bytes(n=2000))
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400

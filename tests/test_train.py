@@ -550,3 +550,59 @@ class TestAsyncSaver:
         s.save("Generator", 1, {"w": jnp.ones((2,))})
         with pytest.raises(Exception):
             s.flush()
+
+
+class TestOverlapGenerate:
+    """generate(overlap=f): overlapping chunk grid + hann overlap-add — the
+    beyond-reference boundary smoothing. overlap=0 stays the reference-exact path."""
+
+    def test_shapes_and_determinism(self):
+        cfg = small_cfg()
+        segan = SEGAN(cfg)
+        segan.init_state(batch_size=1)
+        wav = np.random.RandomState(0).randn(3000).astype(np.float32) * 0.1
+        k = jax.random.PRNGKey(4)
+        a, _ = segan.generate(wav, rng=k, overlap=0.25)
+        b, _ = segan.generate(wav, rng=k, overlap=0.25)
+        assert a.shape == (3000,)
+        assert np.all(np.isfinite(a))
+        np.testing.assert_array_equal(a, b)
+
+    def test_overlap_equals_manual_composition(self):
+        """generate(overlap=f) must equal chunk_grid -> G forward -> overlap_add ->
+        de-emphasis composed by hand with the same z."""
+        import jax.numpy as jnp
+
+        from segan_pytorch_tpu.ops.signal import de_emphasize_np
+        from segan_pytorch_tpu.parallel.inference import chunk_grid, overlap_add
+
+        cfg = small_cfg()
+        segan = SEGAN(cfg)
+        segan.init_state(batch_size=1)
+        t = np.arange(4096) / 16000.0
+        wav = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        k = jax.random.PRNGKey(9)
+        got, _ = segan.generate(wav, rng=k, overlap=0.25)
+        N = cfg.slice_size
+        grid, hop, n_chunks = chunk_grid(wav, N, 0.25)
+        n_padded = 1 << (n_chunks - 1).bit_length()
+        if n_padded > n_chunks:
+            grid = np.concatenate(
+                [grid, np.zeros((n_padded - n_chunks, N, 1), np.float32)], axis=0)
+        zrow = segan.G.sample_z(k, (1, N, 1))
+        zb = jnp.tile(jnp.asarray(zrow), (n_padded, 1, 1))
+        out, _ = segan._gfwd_jit()(segan.state.g_params, segan.state.g_vars,
+                                   jnp.asarray(grid), zb)
+        want = de_emphasize_np(
+            overlap_add(np.asarray(out)[:n_chunks], hop, 4096), segan.preemph)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_wsegan_accepts_overlap_kwarg(self):
+        from segan_pytorch_tpu.models import WSEGAN
+
+        cfg = small_cfg(wsegan=True)
+        ws = WSEGAN(cfg)
+        ws.init_state(batch_size=1)
+        wav = np.random.RandomState(1).randn(2000).astype(np.float32) * 0.1
+        out, _ = ws.generate(wav, overlap=0.25)  # accepted, ignored
+        assert out.shape == (2000,)
