@@ -38,6 +38,7 @@ from flax.core import unfreeze
 from .generator import Generator, build_generator
 from .discriminator import Discriminator, build_discriminator
 from ..ops.signal import de_emphasize_np
+from ..parallel import local_host_rows
 from ..utils.checkpoint import (
     Saver,
     filter_merge_state,
@@ -426,6 +427,8 @@ class SEGAN:
         parallel/inference.py) instead of hard-concatenating chunk boundaries.
         0 (default) is the reference-exact path.
         """
+        if not 0.0 <= overlap < 0.5:
+            raise ValueError(f"overlap must be in [0, 0.5), got {overlap}")
         N = self.cfg.slice_size
         T = int(np.asarray(inwav).reshape(-1).shape[0])
         wav = np.asarray(inwav, np.float32).reshape(-1)
@@ -539,7 +542,10 @@ class SEGAN:
         """The SEGAN training loop (ref model.py:230-437)."""
         from ..utils.logging import TrainLogger
 
-        self.writer = TrainLogger(os.path.join(self.save_path, "train"))
+        # multi-host: only the chief writes logs/checkpoints/samples
+        is_chief = jax.process_index() == 0
+        self.writer = TrainLogger(os.path.join(self.save_path, "train"),
+                                  enabled=is_chief)
         self.prepare_train(cfg.batch_size)
         # async: checkpoint D2H + file IO overlap the next epoch's compute
         eoe_g_saver = Saver(cfg.save_path, max_ckpts=3, prefix="EOE_G-",
@@ -594,8 +600,6 @@ class SEGAN:
                 rng, krun = jax.random.split(rng)
                 metrics, Genh, z = self.train_step(clean, noisy, mask, krun, l1_weight)
                 if noisy_samples is None:
-                    from ..parallel import local_host_rows
-
                     noisy_samples = local_host_rows(noisy, 20)
                     clean_samples = local_host_rows(clean, 20)
                     if z is not None:
@@ -637,15 +641,14 @@ class SEGAN:
                     self.writer.scalar("D_fake", m["d_fake"], iteration)
                     self.writer.scalar("G_adv", m["g_adv"], iteration)
                     self.writer.scalar("G_l1", m["g_l1"], iteration)
-                    from ..parallel import local_host_rows
-
                     self.writer.histogram("Gz", local_host_rows(Genh), iteration)
                     self.writer.histogram("clean", local_host_rows(clean), iteration)
                     self.writer.histogram("noisy", local_host_rows(noisy), iteration)
                     self.writer.weight_norms(self.state.g_params, "Gtotal", iteration)
                     self.writer.weight_norms(self.state.d_params, "Dtotal", iteration)
                     if not cfg.no_train_gen:
-                        self.gen_train_samples(clean_samples, noisy_samples, z_sample,
+                        if is_chief:
+                            self.gen_train_samples(clean_samples, noisy_samples, z_sample,
                                                iteration=iteration)
                 iteration += 1
 
@@ -675,7 +678,9 @@ class SEGAN:
                           f"{best_val_obj} -> {val_obj}")
                     best_val_obj = val_obj
                     patience = cfg.patience
-                    self.save(best_saver_g, best_saver_d, iteration, best_val=True)
+                    if is_chief:
+                        self.save(best_saver_g, best_saver_d, iteration,
+                                  best_val=True)
                 else:
                     patience -= 1
                     print(f"Val loss did not improve. Patience {patience}/{cfg.patience}")
@@ -685,7 +690,8 @@ class SEGAN:
 
             if epoch % max(1, getattr(cfg, "eoe_save_every", 1)) == 0 \
                     or epoch == cfg.epoch:
-                self.save(eoe_g_saver, eoe_d_saver, iteration)
+                if is_chief:
+                    self.save(eoe_g_saver, eoe_d_saver, iteration)
         for sv in (eoe_g_saver, eoe_d_saver, best_saver_g, best_saver_d):
             sv.flush()  # all checkpoint bytes on disk before train() returns
 
@@ -791,7 +797,13 @@ class SEGAN:
             # duplicated rows carrying mask=0
             bmask = np.asarray(batch.get("mask", np.ones(clean.shape[0])))
             n_valid = int(bmask.sum())
-            Genh = np.asarray(self.infer_G(jnp.asarray(noisy[..., None])))[..., 0]
+            # deterministic per-(step, batch) eval z: every host draws the SAME z,
+            # so val_obj (and the early-stop decision it drives) is bit-identical
+            # across processes — a per-host np.random draw could desync the pod
+            krng = jax.random.fold_in(
+                jax.random.PRNGKey(self.cfg.seed + 77), 1000 * int(self.state.step) + bidx)
+            Genh = np.asarray(self.infer_G(jnp.asarray(noisy[..., None]),
+                                           rng=krng))[..., 0]
             clean, noisy, Genh = clean[:n_valid], noisy[:n_valid], Genh[:n_valid]
             clean_de = de_emphasize_np(clean, self.preemph)
             genh_de = de_emphasize_np(Genh, self.preemph)

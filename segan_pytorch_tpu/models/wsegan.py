@@ -214,7 +214,9 @@ class WSEGAN(SEGAN):
         """Iteration-driven loop resampling fresh batches (ref model.py:541-753)."""
         from ..utils.logging import TrainLogger
 
-        self.writer = TrainLogger(os.path.join(cfg.save_path, "train"))
+        is_chief = jax.process_index() == 0  # only the chief writes artifacts
+        self.writer = TrainLogger(os.path.join(cfg.save_path, "train"),
+                                  enabled=is_chief)
         self.prepare_train(cfg.batch_size)
         eoe_g_saver = Saver(cfg.save_path, max_ckpts=3, prefix="EOE_G-",
                             async_write=True)
@@ -260,8 +262,6 @@ class WSEGAN(SEGAN):
             timings.append(end_t - beg_t)
             beg_t = timeit.default_timer()
             if noisy_samples is None:
-                from ..parallel import local_host_rows
-
                 noisy_samples = local_host_rows(noisy, 20)
                 clean_samples = local_host_rows(clean, 20)
                 if z is not None:
@@ -276,20 +276,20 @@ class WSEGAN(SEGAN):
                 self.writer.scalar("G_loss", m["g_loss"], iteration)
                 self.writer.scalar("G_adv_loss", m["g_adv"], iteration)
                 self.writer.scalar("G_pow_loss", m["pow_loss"], iteration)
-                from ..parallel import local_host_rows
-
                 self.writer.histogram("Gz", local_host_rows(Genh), iteration)
                 self.writer.weight_norms(self.state.g_params, "Gtotal", iteration)
                 self.writer.weight_norms(self.state.d_params, "Dtotal", iteration)
                 self._log_skip_alphas(iteration)
                 if not cfg.no_train_gen:
-                    self.gen_train_samples(clean_samples, noisy_samples, z_sample,
+                    if is_chief:
+                        self.gen_train_samples(clean_samples, noisy_samples, z_sample,
                                            iteration=iteration)
             if iteration % num_batches == 0:
                 epoch = iteration // num_batches
                 if epoch % max(1, getattr(cfg, "eoe_save_every", 1)) == 0 \
                         or iteration == total_iters:
-                    self.save(eoe_g_saver, eoe_d_saver, iteration)
+                    if is_chief:
+                        self.save(eoe_g_saver, eoe_d_saver, iteration)
         eoe_g_saver.flush()
         eoe_d_saver.flush()
 
@@ -426,7 +426,9 @@ class AEWSEGAN(WSEGAN):
               device=None):
         from ..utils.logging import TrainLogger
 
-        self.writer = TrainLogger(os.path.join(cfg.save_path, "train"))
+        is_chief = jax.process_index() == 0  # only the chief writes artifacts
+        self.writer = TrainLogger(os.path.join(cfg.save_path, "train"),
+                                  enabled=is_chief)
         self.prepare_train(cfg.batch_size)
         eoe_g_saver = Saver(cfg.save_path, max_ckpts=3, prefix="EOE_G-",
                             async_write=True)
@@ -459,8 +461,6 @@ class AEWSEGAN(WSEGAN):
             timings.append(end_t - beg_t)
             beg_t = timeit.default_timer()
             if noisy_samples is None:
-                from ..parallel import local_host_rows
-
                 noisy_samples = local_host_rows(noisy, 20)
                 clean_samples = local_host_rows(clean, 20)
                 if z is not None:
@@ -480,7 +480,8 @@ class AEWSEGAN(WSEGAN):
                 self.writer.scalar("G_pow_loss", pow_loss, iteration)
                 self._log_skip_alphas(iteration)
                 if not cfg.no_train_gen:
-                    self.gen_train_samples(clean_samples, noisy_samples, z_sample,
+                    if is_chief:
+                        self.gen_train_samples(clean_samples, noisy_samples, z_sample,
                                            iteration=iteration)
                 if va_dloader is not None:
                     sd = self.evaluate_sd(cfg, va_dloader)
@@ -490,7 +491,9 @@ class AEWSEGAN(WSEGAN):
                                            prefix=f"{self.name}-G-")
                         g_tree = {"params": self.state.g_params,
                                   **self.state.g_vars}
-                        best_saver.save("Generator", iteration, g_tree, best_val=True)
+                        if is_chief:
+                            best_saver.save("Generator", iteration, g_tree,
+                                            best_val=True)
                         best_val_obj = sd
             if iteration % num_batches == 0:
                 epoch = iteration // num_batches
@@ -498,7 +501,8 @@ class AEWSEGAN(WSEGAN):
                         or iteration == total_iters:
                     g_tree = {"params": self.state.g_params,
                               **self.state.g_vars}
-                    eoe_g_saver.save("Generator", iteration, g_tree)
+                    if is_chief:
+                        eoe_g_saver.save("Generator", iteration, g_tree)
         eoe_g_saver.flush()
 
     def evaluate_sd(self, cfg: SEGANConfig, dloader, max_samples: int = 1) -> float:

@@ -11,9 +11,17 @@ import numpy as np
 
 
 class TrainLogger:
-    def __init__(self, logdir: str):
-        os.makedirs(logdir, exist_ok=True)
+    def __init__(self, logdir: str, enabled: bool = True):
+        """enabled=False turns every method into a no-op and touches no files —
+        multi-host training passes enabled=(process_index == 0) so only the chief
+        writes TB/JSONL/sample artifacts (concurrent writers would corrupt them)."""
+        self.enabled = enabled
         self.logdir = logdir
+        self.tb = None
+        if not enabled:
+            self.jsonl = None
+            return
+        os.makedirs(logdir, exist_ok=True)
         try:
             from tensorboardX import SummaryWriter
 
@@ -23,6 +31,8 @@ class TrainLogger:
         self.jsonl = open(os.path.join(logdir, "scalars.jsonl"), "a")
 
     def scalar(self, tag: str, value: float, step: int):
+        if not self.enabled:
+            return
         if self.tb is not None:
             self.tb.add_scalar(tag, float(value), step)
         self.jsonl.write(json.dumps({"t": time.time(), "tag": tag,
@@ -30,6 +40,8 @@ class TrainLogger:
         self.jsonl.flush()
 
     def histogram(self, tag: str, values: np.ndarray, step: int):
+        if not self.enabled:
+            return
         if self.tb is not None:
             self.tb.add_histogram(tag, np.asarray(values), step, bins="sturges")
 
@@ -39,6 +51,8 @@ class TrainLogger:
         Norms are computed ON DEVICE and only the scalars are fetched — pulling the
         full parameter trees to the host every log step costs hundreds of MB of
         transfer (catastrophic over a slow host link)."""
+        if not self.enabled:
+            return
         import jax
         import jax.numpy as jnp
 
@@ -62,4 +76,5 @@ class TrainLogger:
     def close(self):
         if self.tb is not None:
             self.tb.close()
-        self.jsonl.close()
+        if self.jsonl is not None:
+            self.jsonl.close()

@@ -87,6 +87,13 @@ def make_handler(cfg, segan, state):
             })
 
         def do_POST(self):
+            # drain the body FIRST: under keep-alive (HTTP/1.1) an unread body
+            # would be parsed as the next request line on the same connection
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                n = 0
+            raw = self.rfile.read(n)
             path, _, query = self.path.partition("?")
             if path != "/enhance":
                 return self._json(404, {"error": "unknown path"})
@@ -95,9 +102,15 @@ def make_handler(cfg, segan, state):
                 if "=" in kv:
                     k, _, v = kv.partition("=")
                     params[k] = v
+            # client-input validation -> 400 (before the model's 500 umbrella)
             try:
-                n = int(self.headers.get("Content-Length", 0))
-                raw = self.rfile.read(n)
+                overlap = float(params.get("overlap", 0.0))
+                seed = int(params["seed"]) if "seed" in params else None
+            except ValueError as e:
+                return self._json(400, {"error": f"bad query param: {e}"})
+            if not (0.0 <= overlap < 0.5):
+                return self._json(400, {"error": "overlap must be in [0, 0.5)"})
+            try:
                 rate, wav = _wavfile.read(io.BytesIO(raw))
             except Exception as e:
                 return self._json(400, {"error": f"bad wav: {e}"})
@@ -106,13 +119,11 @@ def make_handler(cfg, segan, state):
             try:
                 pwav = pre_emphasize_np(
                     np.asarray(normalize_wave_minmax(_as_int16(wav))), cfg.preemph)
-                overlap = float(params.get("overlap", 0.0))
-                if not (0.0 <= overlap < 0.5):
-                    return self._json(400, {"error": "overlap must be in [0, 0.5)"})
+            except ValueError as e:  # unsupported sample dtype etc.
+                return self._json(400, {"error": str(e)})
+            try:
                 with lock:
-                    rng = None
-                    if "seed" in params:
-                        rng = jax.random.PRNGKey(int(params["seed"]))
+                    rng = None if seed is None else jax.random.PRNGKey(seed)
                     t0 = time.perf_counter()
                     enh, _ = segan.generate(pwav, rng=rng, overlap=overlap)
                     dt = time.perf_counter() - t0

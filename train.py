@@ -133,6 +133,14 @@ def main(cfg):
                            getattr(cfg, 'num_processes', None),
                            getattr(cfg, 'process_id', None))
 
+    if jax.process_count() > 1 and cfg.dp <= 1:
+        # without a global mesh each process would silently train its OWN replica
+        # on its data shard (no gradient all-reduce); multi-host implies DP over
+        # every device in the job
+        cfg.dp = len(jax.devices())
+        print(f'[multi-host] {jax.process_count()} processes: defaulting --dp to '
+              f'the {cfg.dp} global devices')
+
     if cfg.wsegan:
         segan = WSEGAN(cfg)
     elif cfg.aewsegan:
