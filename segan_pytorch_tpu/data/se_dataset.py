@@ -70,7 +70,21 @@ class SEDataset:
         slice_workers: int = 2,
         preemph_norm: bool = False,
         random_scale: Sequence[float] = (1,),
+        transform=None,
     ):
+        """transform: optional augmentor called as transform(clean_slice) -> noisy
+        slice on the NORMALIZED (pre-pre-emphasis) clean signal; when set, the
+        noisy input is regenerated from clean on the fly (data/augment.py
+        Additive) and both sides are pre-emphasized afterwards. Augmented items
+        get an '_additive'-suffixed uttname so WSEGAN's additive-L1 mask (ref
+        model.py:657-665) engages automatically. Incompatible with preemph_norm
+        (which pre-emphasizes before normalizing)."""
+        if transform is not None and preemph_norm:
+            raise ValueError(
+                "transform (additive augmentation) operates on the normalized "
+                "pre-pre-emphasis signal; preemph_norm inverts that order and is "
+                "not supported together")
+        self.transform = transform
         self.clean_names = sorted(glob.glob(os.path.join(clean_dir, "*.wav")))
         self.noisy_names = sorted(glob.glob(os.path.join(noisy_dir, "*.wav")))
         if verbose:
@@ -150,13 +164,28 @@ class SEDataset:
         self._wav_cache[path] = wav
         return wav
 
+    def read_wav_file_norm(self, path: str) -> np.ndarray:
+        """Normalized-only read (no pre-emphasis) — the augmentation-domain signal."""
+        key = path + "#norm"
+        if key in self._wav_cache:
+            return self._wav_cache[key]
+        rate, wav = read_wav_raw(path)
+        wav = np.asarray(normalize_wave_minmax(np.asarray(wav))).astype(np.float32)
+        if len(self._wav_cache) > 64:
+            try:
+                self._wav_cache.pop(next(iter(self._wav_cache)))
+            except (KeyError, StopIteration, RuntimeError):
+                pass
+        self._wav_cache[key] = wav
+        return wav
+
     # ------------------------------------------------------------------
     def gather_batch(self, indices) -> Optional[dict]:
         """Native C++ fast path: decode+normalize+preemph+slice a whole batch in a
         thread pool (native/segan_io.cpp), bypassing the per-item Python loop.
         Returns None when unavailable (non-default preemph order, .met sidecars,
         random scaling, or the library failed to build) — callers fall back."""
-        if self.preemph_norm or self.random_scale != [1]:
+        if self.preemph_norm or self.random_scale != [1] or self.transform is not None:
             return None
         if getattr(self, "_has_met", None) is None:
             self._has_met = any(
@@ -199,17 +228,26 @@ class SEDataset:
         w_i, t_i, cb, ce, nb, ne = self.idx2slice[index]
         c_path = self.clean_names[w_i]
         n_path = self.noisy_names[w_i]
-        c_sig = self.read_wav_file(c_path)
-        n_sig = self.read_wav_file(n_path)
-        c_slice = c_sig[cb:ce]
-        n_slice = n_sig[nb:ne]
+        bname = os.path.splitext(os.path.basename(n_path))[0]
+        if self.transform is not None:
+            # augmentation path: noisy is regenerated from the NORMALIZED clean
+            # slice at a random SNR, then both sides are pre-emphasized
+            c_raw = self.read_wav_file_norm(c_path)[cb:ce]
+            n_raw = self.transform(c_raw)
+            c_slice = pre_emphasize_np(c_raw, self.preemph)
+            n_slice = pre_emphasize_np(np.asarray(n_raw, np.float32), self.preemph)
+            bname = bname + "_additive"
+        else:
+            c_sig = self.read_wav_file(c_path)
+            n_sig = self.read_wav_file(n_path)
+            c_slice = c_sig[cb:ce]
+            n_slice = n_sig[nb:ne]
         L = min(c_slice.shape[0], n_slice.shape[0])
         c_slice, n_slice = c_slice[:L], n_slice[:L]
         if c_slice.shape[0] < self.slice_size:
             pad = np.zeros((self.slice_size - c_slice.shape[0],), np.float32)
             c_slice = np.concatenate((c_slice, pad))
             n_slice = np.concatenate((n_slice, pad))
-        bname = os.path.splitext(os.path.basename(n_path))[0]
         pesq = ssnr = None
         met_path = os.path.join(os.path.dirname(n_path), bname + ".met")
         if os.path.exists(met_path):

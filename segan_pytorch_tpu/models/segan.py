@@ -694,6 +694,7 @@ class SEGAN:
                     self.save(eoe_g_saver, eoe_d_saver, iteration)
         for sv in (eoe_g_saver, eoe_d_saver, best_saver_g, best_saver_d):
             sv.flush()  # all checkpoint bytes on disk before train() returns
+        self.close_pool()  # don't leak eval workers past the training run
 
     def save(self, g_saver: Saver, d_saver: Saver, step: int, best_val: bool = False):
         # device arrays are handed to the Saver as-is: an async Saver snapshots them
@@ -748,8 +749,29 @@ class SEGAN:
                                                      d_payload["optimizer"])
         new = jax.device_put(new)  # npz leaves are host numpy; keep state on device
         self.state = self.state.replace(**new)
+        if jax.process_count() > 1:
+            self._verify_multihost_resume_consistency(new)
         print(f"[*] Resumed from step {step}")
         return step
+
+    def _verify_multihost_resume_consistency(self, new: dict):
+        """Chief-only checkpoint writes assume save_path is a shared filesystem.
+        On per-host disks, a resumed run would restore params on process 0 while
+        others init fresh — silently producing an inconsistent 'replicated' global
+        array. Cross-check a parameter checksum across processes and fail loudly
+        instead."""
+        from jax.experimental import multihost_utils
+
+        local = np.float64(0.0)
+        for leaf in jax.tree.leaves(new.get("g_params", {})):
+            local += float(jnp.sum(jnp.abs(jnp.asarray(leaf, jnp.float32))))
+        sums = np.asarray(multihost_utils.process_allgather(np.float64(local)))
+        if not np.allclose(sums, sums[0], rtol=1e-6, atol=1e-6):
+            raise RuntimeError(
+                "multi-host resume inconsistency: parameter checksums differ "
+                f"across processes ({sums.tolist()}). save_path must be a shared "
+                "filesystem visible to every host (chief writes, all read); copy "
+                "the checkpoint directory to every host or mount shared storage.")
 
     def gen_train_samples(self, clean_samples, noisy_samples, z_sample,
                           iteration=None):
@@ -778,6 +800,21 @@ class SEGAN:
                 write_wav(os.path.join(self.save_path, f"dif_{m}.wav"),
                           de_emphasize_np(dif[m, :, 0], self.preemph), 16000)
 
+    def close_pool(self):
+        """Close/join the cached eval worker pool (it is reused across evaluate()
+        calls within one training run; long-lived importers like serve.py must not
+        leak worker processes per engine instance)."""
+        if self.pool is not None:
+            self.pool.close()
+            self.pool.join()
+            self.pool = None
+
+    def __del__(self):  # last-resort cleanup for interactive / library use
+        try:
+            self.close_pool()
+        except Exception:
+            pass
+
     # -- evaluation -----------------------------------------------------------
     def evaluate(self, cfg: SEGANConfig, dloader, log_freq: int,
                  do_noisy: bool = False, max_samples: int = 1):
@@ -800,8 +837,12 @@ class SEGAN:
             # deterministic per-(step, batch) eval z: every host draws the SAME z,
             # so val_obj (and the early-stop decision it drives) is bit-identical
             # across processes — a per-host np.random draw could desync the pod
+            # nested fold_in: (step, bidx) injected separately, so no collisions
+            # between neighboring steps on >=1000-batch val loaders and no uint32
+            # overflow of a combined 1000*step+bidx encoding at large step counts
             krng = jax.random.fold_in(
-                jax.random.PRNGKey(self.cfg.seed + 77), 1000 * int(self.state.step) + bidx)
+                jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed + 77),
+                                   int(self.state.step)), bidx)
             Genh = np.asarray(self.infer_G(jnp.asarray(noisy[..., None]),
                                            rng=krng))[..., 0]
             clean, noisy, Genh = clean[:n_valid], noisy[:n_valid], Genh[:n_valid]

@@ -239,6 +239,16 @@ class WSEGAN(SEGAN):
         def batch_stream():
             while True:
                 for b in dloader:
+                    # emit the additive-L1 flag (ref model.py:657-665: L1 only on
+                    # utterances whose name contains 'additive') as a per-row float32
+                    # ndarray BEFORE prefetch: device_prefetch assembles ndarray
+                    # fields into global arrays across hosts, so under
+                    # process_count>1 the flag gets the same global-batch treatment
+                    # as clean/noisy/mask (a per-host Python list would stay local
+                    # and shape-mismatch the sharded step)
+                    b["additive_mask"] = np.asarray(
+                        [1.0 if "additive" in u else 0.0 for u in b["uttname"]],
+                        np.float32)
                     yield b
 
         stream = device_prefetch(batch_stream(), sharding=batch_shard)
@@ -253,8 +263,7 @@ class WSEGAN(SEGAN):
             clean = batch["clean"][..., None]
             noisy = batch["noisy"][..., None]
             mask = batch.get("mask", np.ones((clean.shape[0],), np.float32))
-            additive_mask = np.asarray(
-                [1.0 if "additive" in u else 0.0 for u in batch["uttname"]], np.float32)
+            additive_mask = batch["additive_mask"]
             rng, krun = jax.random.split(rng)
             metrics, Genh, z = self.train_step(clean, noisy, mask, additive_mask,
                                                krun, l1_weight)
@@ -276,7 +285,21 @@ class WSEGAN(SEGAN):
                 self.writer.scalar("G_loss", m["g_loss"], iteration)
                 self.writer.scalar("G_adv_loss", m["g_adv"], iteration)
                 self.writer.scalar("G_pow_loss", m["pow_loss"], iteration)
-                self.writer.histogram("Gz", local_host_rows(Genh), iteration)
+                # STFT-power + waveform histograms (ref model.py:703-719); computed
+                # on this host's rows only — histograms are diagnostics, not losses
+                genh_rows = local_host_rows(Genh)
+                clean_rows = local_host_rows(clean)
+                self.writer.histogram(
+                    "clean_mod_pow",
+                    np.asarray(power_spectrum_db(
+                        jnp.asarray(clean_rows)[..., 0], self.n_fft)), iteration)
+                self.writer.histogram(
+                    "Genh_mod_pow",
+                    np.asarray(power_spectrum_db(
+                        jnp.asarray(genh_rows)[..., 0], self.n_fft)), iteration)
+                self.writer.histogram("Gz", genh_rows, iteration)
+                self.writer.histogram("clean", clean_rows, iteration)
+                self.writer.histogram("noisy", local_host_rows(noisy), iteration)
                 self.writer.weight_norms(self.state.g_params, "Gtotal", iteration)
                 self.writer.weight_norms(self.state.d_params, "Dtotal", iteration)
                 self._log_skip_alphas(iteration)

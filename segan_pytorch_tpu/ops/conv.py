@@ -9,6 +9,13 @@ Semantics reproduced from the reference:
   else symmetric (kw//2, kw//2)            (ref: segan/models/modules.py:92-98)
 - transposed conv uses torch ConvTranspose1d with padding = max(0,(stride-kwidth)//-2) and
   trims the last output sample when kwidth is odd   (ref: segan/models/modules.py:115,137-138)
+
+AD support note: ``reflect_pad_1d`` (always on) and the opt-in ``SEGAN_TPU_CONV_GRAD``
+lowerings are ``jax.custom_vjp`` functions, so they support reverse-mode AD only —
+``jax.jvp``/``jacfwd``/``hessian`` through any conv block raises. This framework's
+training and inference paths are exclusively reverse-mode (jax.grad/vjp); if you need
+forward-mode through these ops, replace reflect_pad_1d with plain jnp.pad (its slower
+autodiff transpose is forward-mode capable).
 """
 from __future__ import annotations
 

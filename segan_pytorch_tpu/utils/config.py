@@ -136,6 +136,12 @@ class SEGANConfig:
     # validation batches scored per epoch; 1 = reference parity (model.py:469-484
     # scores a single batch), 0 = sweep the full validation set
     eval_max_samples: int = 1
+    # on-the-fly additive-noise augmentation (data/augment.py, ref utils.py:51-297):
+    # a dir of noise wavs activates it; noisy slices are regenerated from clean at a
+    # random SNR from snr_levels each epoch (the reference imports Additive at
+    # train.py:7 but never wires it — this closes that gap)
+    noises_dir: Optional[str] = None
+    snr_levels: List[int] = field(default_factory=lambda: [0, 5, 10])
 
     def __post_init__(self):
         if self.bias is None:

@@ -26,6 +26,11 @@ import json
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import unquote
+
+# ~1 hour of 16 kHz float64 audio as a WAV body — far above any sane request,
+# far below anything that could wedge the host allocator
+MAX_BODY_BYTES = 512 * 1024 * 1024
 
 
 def _as_int16(wav):
@@ -87,12 +92,23 @@ def make_handler(cfg, segan, state):
             })
 
         def do_POST(self):
-            # drain the body FIRST: under keep-alive (HTTP/1.1) an unread body
-            # would be parsed as the next request line on the same connection
+            # chunked bodies are not supported (we need Content-Length to drain
+            # the body safely under keep-alive); say so explicitly instead of
+            # reading an empty body and returning a confusing 'bad wav' 400
+            if "chunked" in (self.headers.get("Transfer-Encoding") or "").lower():
+                self.close_connection = True
+                return self._json(501, {"error": "chunked transfer encoding not "
+                                                 "supported; send Content-Length"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
             except ValueError:
                 n = 0
+            if n > MAX_BODY_BYTES:
+                self.close_connection = True  # don't drain a hostile body
+                return self._json(413, {"error": f"body too large ({n} bytes; "
+                                                 f"max {MAX_BODY_BYTES})"})
+            # drain the body FIRST: under keep-alive (HTTP/1.1) an unread body
+            # would be parsed as the next request line on the same connection
             raw = self.rfile.read(n)
             path, _, query = self.path.partition("?")
             if path != "/enhance":
@@ -101,7 +117,7 @@ def make_handler(cfg, segan, state):
             for kv in query.split("&"):
                 if "=" in kv:
                     k, _, v = kv.partition("=")
-                    params[k] = v
+                    params[unquote(k)] = unquote(v)
             # client-input validation -> 400 (before the model's 500 umbrella)
             try:
                 overlap = float(params.get("overlap", 0.0))

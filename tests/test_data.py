@@ -146,6 +146,41 @@ class TestAdditive:
         assert not np.allclose(noisy, clean)
         assert np.max(np.abs(noisy)) < 1.0  # anti-clip renorm
 
+    def test_sedataset_transform_wiring(self, wav_dirs, tmp_path):
+        """--noises_dir path: noisy regenerated from clean, '_additive' uttnames
+        (so WSEGAN's additive-L1 mask engages), pre-emphasis applied after."""
+        from scipy.io import wavfile
+
+        from segan_pytorch_tpu.data import Additive, SEDataset
+        from segan_pytorch_tpu.ops.signal import pre_emphasize_np
+
+        clean_d, noisy_d, _ = wav_dirs
+        noise_dir = tmp_path / "noises"
+        noise_dir.mkdir()
+        rng = np.random.RandomState(0)
+        wavfile.write(str(noise_dir / "n.wav"), 16000,
+                      (0.1 * rng.randn(60000) * 32767).astype(np.int16))
+        add = Additive(str(noise_dir), snr_levels=[5],
+                       rng=np.random.RandomState(3))
+        ds = SEDataset(clean_d, noisy_d, 0.95, cache_dir=str(tmp_path / "aug"),
+                       slice_size=16384, stride=0.5, transform=add)
+        s = ds[0]
+        assert s["uttname"].endswith("_additive")
+        assert s["clean"].shape == (16384,) and s["noisy"].shape == (16384,)
+        assert not np.allclose(s["noisy"], s["clean"])
+        # clean side must equal the preemph of the normalized clean slice
+        w_i, t_i, cb, ce, *_ = ds.idx2slice[0]
+        c_raw = ds.read_wav_file_norm(ds.clean_names[w_i])[cb:ce]
+        np.testing.assert_allclose(s["clean"],
+                                   pre_emphasize_np(c_raw, 0.95), rtol=1e-6)
+        # the native gather fast path must decline (augmentation is per-item)
+        assert ds.gather_batch([0, 1]) is None
+        # incompatible with preemph_norm
+        with pytest.raises(ValueError):
+            SEDataset(clean_d, noisy_d, 0.95, cache_dir=str(tmp_path / "aug2"),
+                      slice_size=16384, stride=0.5, transform=add,
+                      preemph_norm=True)
+
     def test_asl_p56_matches_reference(self):
         """Golden parity of the vectorized P.56 active-speech-level vs the reference's
         per-sample loop (ref utils.py:180-253)."""

@@ -102,6 +102,13 @@ def build_parser():
     parser.add_argument('--eval_max_samples', type=int, default=1,
                         help='Validation batches scored per epoch '
                              '(1 = reference parity, 0 = full valset sweep).')
+    parser.add_argument('--noises_dir', type=str, default=None,
+                        help='Dir of noise wavs: activates on-the-fly additive-noise '
+                             'augmentation (P.56 ASL scaling, ref utils.py:51-134); '
+                             'noisy slices are regenerated from clean each epoch.')
+    parser.add_argument('--snr_levels', type=int, nargs='+', default=[0, 5, 10],
+                        help='Candidate SNR targets (dB) for --noises_dir '
+                             'augmentation (Def: 0 5 10).')
     parser.add_argument('--resume', action='store_true', default=False,
                         help='Resume from the latest EOE checkpoints in save_path.')
     # multi-host bring-up (jax.distributed); no-ops for single process
@@ -162,13 +169,21 @@ def main(cfg):
         dset = SEH5Dataset(cfg.h5_data_root, split='train', preemph=cfg.preemph,
                            verbose=True, random_scale=cfg.random_scale)
     else:
+        transform = None
+        if getattr(cfg, 'noises_dir', None):
+            from segan_pytorch_tpu.data.augment import Additive
+            transform = Additive(cfg.noises_dir, cfg.snr_levels,
+                                 rng=np.random.RandomState(cfg.seed))
+            print(f'[augment] additive noise from {cfg.noises_dir} at SNR '
+                  f'{cfg.snr_levels} dB ({len(transform.noises)} noise files)')
         dset = SEDataset(cfg.clean_trainset, cfg.noisy_trainset, cfg.preemph,
                          cache_dir=cfg.cache_dir, split='train',
                          stride=cfg.data_stride, slice_size=cfg.slice_size,
                          max_samples=cfg.max_samples, verbose=True,
                          slice_workers=cfg.slice_workers,
                          preemph_norm=cfg.preemph_norm,
-                         random_scale=cfg.random_scale)
+                         random_scale=cfg.random_scale,
+                         transform=transform)
     # multi-host: every process walks the identical seeded shuffle and loads only
     # its rows of each global batch (assembled on device by device_prefetch via
     # make_array_from_process_local_data)
