@@ -9,10 +9,13 @@
 //   1. level alignment of both signals to a fixed target power (>200 Hz band)
 //   2. input filtering: P.862.2 wideband IIR (ITU coefficients) or an
 //      IRS-receive-approximation FIR for narrowband mode
-//   3. crude whole-signal + per-utterance delay estimation via log-energy
-//      cross-correlation at 4 ms resolution, refined to sample resolution
-//      (NOTE: the ITU iterative utterance-splitting realignment is not
-//      implemented — enhancement pairs have constant delay; see PESQ.md)
+//   3. time alignment: crude whole-signal delay (log-energy cross-correlation
+//      at 4 ms resolution) -> speech-active utterance detection -> per-utterance
+//      delay estimation -> ITU-style iterative utterance SPLITTING (each
+//      utterance is recursively split where realigning the halves separately
+//      improves the correlation confidence, capturing piecewise-variable
+//      delay), refined to sample resolution; the degraded signal is then
+//      rebuilt on the reference timeline with each region's own delay
 //   4. perceptual model: 50%-overlap Hann frames, Bark-band pitch power
 //      densities, per-band frequency compensation, per-frame gain
 //      compensation, Zwicker loudness transform, masking deadzone,
@@ -309,6 +312,201 @@ long refine_delay_samples(const std::vector<double>& ref, const std::vector<doub
 }
 
 // ---------------------------------------------------------------------------
+// utterance detection + iterative splitting realignment (ITU pesqmain's
+// utterance_locate / utterance_split structure: id_searchwindows ->
+// crude+fine per-utterance align -> split where realigned halves correlate
+// better, i.e. the delay changed mid-utterance)
+// ---------------------------------------------------------------------------
+struct Utterance {
+  long beg = 0, end = 0;  // sample range on the REFERENCE timeline
+  long delay = 0;         // deg[i + delay] corresponds to ref[i]
+  double conf = 0.0;      // normalized correlation confidence of the delay
+};
+
+// raw (unthresholded) 4 ms energy profile, used for speech-activity detection
+std::vector<double> raw_energy_profile(const std::vector<double>& x, int block) {
+  const size_t nb = x.size() / block;
+  std::vector<double> e(nb);
+  for (size_t i = 0; i < nb; i++) {
+    double s = 0;
+    for (int j = 0; j < block; j++) s += std::fabs(x[i * block + j]);
+    e[i] = s;
+  }
+  return e;
+}
+
+// speech-active stretches of the reference: blocks above 2% of the peak block
+// energy, gaps under 50 blocks (200 ms) merged, runs under 12 blocks (~50 ms)
+// dropped — the ITU id_searchwindows grouping at this profile resolution
+std::vector<std::pair<long, long>> find_active_runs(const std::vector<double>& e) {
+  std::vector<std::pair<long, long>> runs;
+  double mx = 0;
+  for (double v : e) mx = std::max(mx, v);
+  if (mx <= 0) return runs;
+  const double thr = mx * 0.02;
+  const long n = long(e.size());
+  long run_beg = -1;
+  for (long i = 0; i <= n; i++) {
+    const bool active = (i < n) && (e[i] > thr);
+    if (active && run_beg < 0) run_beg = i;
+    if (!active && run_beg >= 0) {
+      runs.emplace_back(run_beg, i);
+      run_beg = -1;
+    }
+  }
+  // merge gaps < 50 blocks
+  std::vector<std::pair<long, long>> merged;
+  for (auto& r2 : runs) {
+    if (!merged.empty() && r2.first - merged.back().second < 50)
+      merged.back().second = r2.second;
+    else
+      merged.push_back(r2);
+  }
+  // drop runs < 12 blocks
+  std::vector<std::pair<long, long>> out;
+  for (auto& r2 : merged)
+    if (r2.second - r2.first >= 12) out.push_back(r2);
+  return out;
+}
+
+// delay of deg vs ref restricted to ref-sample range [beg, end), searched
+// +-span_samples around `prior`; confidence = normalized correlation peak.
+// Two-stage (stride 4, then exact), like refine_delay_samples.
+long utterance_delay(const std::vector<double>& ref, const std::vector<double>& deg,
+                     long beg, long end, long prior, long span, double* conf_out,
+                     long stride = 4) {
+  const long nd = long(deg.size());
+  double e_ref = 1e-30;
+  for (long i = beg; i < end; i++) e_ref += ref[i] * ref[i];
+  auto score = [&](long dly) {
+    double s = 0, e_d = 1e-30;
+    for (long i = beg; i < end; i++) {
+      const long j = i + dly;
+      if (j < 0 || j >= nd) continue;
+      s += ref[i] * deg[j];
+      e_d += deg[j] * deg[j];
+    }
+    return s / std::sqrt(e_ref * e_d);  // normalized in [-1, 1]
+  };
+  double best_v = -1e300;
+  long best_d = prior;
+  for (long dly = prior - span; dly <= prior + span; dly += stride) {
+    const double s = score(dly);
+    if (s > best_v) { best_v = s; best_d = dly; }
+  }
+  const long centre = best_d;
+  for (long dly = centre - stride; dly <= centre + stride; dly++) {
+    const double s = score(dly);
+    if (s > best_v) { best_v = s; best_d = dly; }
+  }
+  if (conf_out) *conf_out = best_v;
+  return best_d;
+}
+
+// ITU utterance_split analogue: recursively split [beg, end) where realigning
+// the halves separately raises the length-weighted correlation confidence by a
+// margin — i.e. the delay genuinely changes inside the utterance.
+void split_align(const std::vector<double>& ref, const std::vector<double>& deg,
+                 long beg, long end, long prior, long span, int depth,
+                 std::vector<Utterance>& out) {
+  double conf = 0;
+  const long delay = utterance_delay(ref, deg, beg, end, prior, span, &conf);
+  const long MIN_HALF = 3200;  // 200 ms at 16 kHz; scaled by caller via span
+  if (depth <= 0 || end - beg < 2 * MIN_HALF) {
+    out.push_back({beg, end, delay, conf});
+    return;
+  }
+  // candidate split points: 8 evenly spaced in the middle 60% of the utterance
+  double best_total = conf + 0.02;  // required improvement margin
+  long best_s = -1, bl = 0, br = 0;
+  double cl_best = 0, cr_best = 0;
+  for (int c = 1; c <= 8; c++) {
+    const long s = beg + (end - beg) * (20 + 60 * c / 9) / 100;
+    if (s - beg < MIN_HALF || end - s < MIN_HALF) continue;
+    // candidate evaluation at coarse stride (16): the decision only needs the
+    // correlation landscape, not sample-exact delays — the accepted split's
+    // halves are re-aligned exactly in the recursion
+    double cl = 0, cr = 0;
+    const long dl = utterance_delay(ref, deg, beg, s, prior, span, &cl, 16);
+    const long dr = utterance_delay(ref, deg, s, end, prior, span, &cr, 16);
+    if (std::labs(dl - dr) < 8) continue;  // ~same delay: splitting buys nothing
+    const double total =
+        (cl * double(s - beg) + cr * double(end - s)) / double(end - beg);
+    if (total > best_total) {
+      best_total = total;
+      best_s = s;
+      bl = dl; br = dr;
+      cl_best = cl; cr_best = cr;
+    }
+  }
+  if (best_s < 0) {
+    out.push_back({beg, end, delay, conf});
+    return;
+  }
+  // accepted: recurse into the halves seeded with their own delays
+  (void)bl; (void)br; (void)cl_best; (void)cr_best;
+  split_align(ref, deg, beg, best_s, bl, span, depth - 1, out);
+  split_align(ref, deg, best_s, end, br, span, depth - 1, out);
+}
+
+// full alignment: utterances + splitting; returns the degraded signal rebuilt
+// on the reference timeline (each region shifted by its own delay, zeros where
+// the mapping leaves the degraded signal). Falls back to the constant
+// whole-signal delay when no utterance is detected.
+std::vector<double> align_degraded(std::vector<double>& r,
+                                   const std::vector<double>& d, int fs,
+                                   std::vector<Utterance>* utts_out) {
+  const int block4ms = fs / 250;
+  const long crude_b = crude_delay_blocks(r, d, block4ms);
+  const long delay0 =
+      refine_delay_samples(r, d, crude_b * block4ms, 4 * block4ms);
+  const long span = fs / 20;  // +-50 ms per-utterance search around the prior
+  std::vector<Utterance> utts;
+  auto runs = find_active_runs(raw_energy_profile(r, block4ms));
+  if (runs.empty()) {
+    utts.push_back({0, long(r.size()), delay0, 0.0});
+  } else {
+    for (auto& run : runs) {
+      const long beg = run.first * block4ms;
+      const long end = std::min(long(r.size()), run.second * block4ms);
+      split_align(r, d, beg, end, delay0, span, /*depth=*/3, utts);
+    }
+    // extend utterance delay regions to cover the silent gaps (each gap split
+    // halfway between its neighbours; ends run to the signal edges)
+    utts.front().beg = 0;
+    for (size_t i = 1; i < utts.size(); i++) {
+      const long mid = (utts[i - 1].end + utts[i].beg) / 2;
+      utts[i - 1].end = mid;
+      utts[i].beg = mid;
+    }
+    utts.back().end = long(r.size());
+  }
+  std::vector<double> aligned(r.size(), 0.0);
+  const long nd = long(d.size());
+  long first_mapped = long(r.size()), last_mapped = -1;
+  for (const auto& u : utts) {
+    for (long i = u.beg; i < u.end; i++) {
+      const long j = i + u.delay;
+      if (j >= 0 && j < nd) {
+        aligned[i] = d[j];
+        first_mapped = std::min(first_mapped, i);
+        last_mapped = std::max(last_mapped, i);
+      }
+    }
+  }
+  if (utts_out) *utts_out = utts;
+  // edges with no degraded counterpart (pure delay overhang) are trimmed from
+  // BOTH signals, not scored as dropouts; interior unmapped samples stay zero
+  if (first_mapped <= last_mapped) {
+    aligned.erase(aligned.begin() + last_mapped + 1, aligned.end());
+    aligned.erase(aligned.begin(), aligned.begin() + first_mapped);
+    r.erase(r.begin() + last_mapped + 1, r.end());
+    r.erase(r.begin(), r.begin() + first_mapped);
+  }
+  return aligned;
+}
+
+// ---------------------------------------------------------------------------
 // perceptual model
 // ---------------------------------------------------------------------------
 struct FrameSpectra {
@@ -426,23 +624,20 @@ double pesq862(const float* ref, long nref, const float* deg, long ndeg,
     irs_receive_filter(d, fs);
   }
 
-  // --- stage 3: delay estimation (crude blocks -> sample refinement) ---
-  const long crude_b = crude_delay_blocks(r, d, block4ms);
-  const long delay =
-      refine_delay_samples(r, d, crude_b * block4ms, 4 * block4ms);
-  if (std::getenv("PESQ862_DEBUG"))
-    std::fprintf(stderr, "[pesq dbg] crude=%ld blocks, refined delay=%ld samples\n",
-                 crude_b, delay);
-  // apply: drop 'delay' leading samples from the later signal
-  if (delay > 0) {
-    d.erase(d.begin(), d.begin() + std::min(delay, long(d.size())));
-  } else if (delay < 0) {
-    r.erase(r.begin(), r.begin() + std::min(-delay, long(r.size())));
+  // --- stage 3: time alignment (utterances + iterative splitting) ---
+  std::vector<Utterance> utts;
+  std::vector<double> d_aligned = align_degraded(r, d, fs, &utts);
+  if (std::getenv("PESQ862_DEBUG")) {
+    std::fprintf(stderr, "[pesq dbg] %zu aligned regions:", utts.size());
+    for (const auto& u : utts)
+      std::fprintf(stderr, " [%ld,%ld)@%+ld(conf %.3f)", u.beg, u.end, u.delay,
+                   u.conf);
+    std::fprintf(stderr, "\n");
   }
-  const size_t L = std::min(r.size(), d.size());
-  r.resize(L);
-  d.resize(L);
+  d = std::move(d_aligned);
+  const size_t L = r.size();
   if (long(L) < t.Nf * 2) return std::nan("");
+  (void)block4ms;
 
   // --- stage 4: perceptual model ---
   FrameSpectra R = pitch_power_density(r, t);

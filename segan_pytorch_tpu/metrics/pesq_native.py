@@ -6,8 +6,10 @@ no stdout parsing.  Auto-builds the shared library on first use (same pattern
 as data/native.py); callers fall back to other backends when unavailable.
 
 Provenance: the implementation follows the full P.862 pipeline (level
-alignment, input filter, delay estimation, Bark-domain perceptual model with
-asymmetric disturbance, Lpq aggregation, P.862.1/.2 output mappings), but its
+alignment, input filter, utterance detection with ITU-style iterative
+splitting realignment for piecewise-variable delay, Bark-domain perceptual
+model with asymmetric disturbance, Lpq aggregation, P.862.1/.2 output
+mappings), but its
 psychoacoustic tables are regenerated from published formulas because the ITU
 table files are not available in this offline environment — so values are NOT
 ITU-certified.  Validate against a `pesqmain` binary with

@@ -146,6 +146,13 @@ def make_segan_train_step(gen: Generator, disc: Discriminator, g_tx, d_tx,
         env = os.environ.get("SEGAN_TPU_FUSE_D")
         fuse_d_pair = (env is not None and env not in ("0", "false", "off")
                        and disc.norm_type != "snorm")
+    # SEGAN_TPU_SNORM=cached (snorm-D configs only): one spectral-norm power
+    # iteration per step (first D pass) instead of per apply — the later passes
+    # reuse the updated u/v, so XLA CSEs a single weight normalization across them.
+    # Parity default is per-apply (torch iterates on every forward); divergence is
+    # power-iteration count only. See models/wsegan.py for the measured campaign.
+    cached_snorm = (os.environ.get("SEGAN_TPU_SNORM") == "cached"
+                    and disc.norm_type == "snorm")
 
     def step(state: GANTrainState, clean, noisy, mask, rng, l1_weight):
         kz, kd1, kd2, kd3, kdrop = jax.random.split(rng, 5)
@@ -193,7 +200,8 @@ def make_segan_train_step(gen: Generator, disc: Discriminator, g_tx, d_tx,
                 dv = {"params": dp_c, **m1}
                 (d_fake, _), m2 = disc.apply(
                     dv, jnp.concatenate([jax.lax.stop_gradient(Genh), noisy_c], -1),
-                    train=True, mask=mask, mutable=list(MUTS), rngs={"phase": kd2})
+                    train=not cached_snorm, mask=mask, mutable=list(MUTS),
+                    rngs={"phase": kd2})
             d_real_loss = masked_mse(d_real, 1.0, mask)
             d_fake_loss = masked_mse(d_fake, 0.0, mask)
             return d_real_loss + d_fake_loss, (m2, d_real_loss, d_fake_loss)
@@ -209,7 +217,8 @@ def make_segan_train_step(gen: Generator, disc: Discriminator, g_tx, d_tx,
             dv = {"params": cast_tree(d_params_new, cdt), **d_vars_mid}
             (d_fake_, _), m3 = disc.apply(
                 dv, jnp.concatenate([Genh_, noisy_c], -1),
-                train=True, mask=mask, mutable=list(MUTS), rngs={"phase": kd3})
+                train=not cached_snorm, mask=mask, mutable=list(MUTS),
+                rngs={"phase": kd3})
             g_adv = masked_mse(d_fake_, 1.0, mask)
             g_l1 = l1_weight * reg_fn(Genh_, clean, mask)  # fp32 target
             return g_adv + g_l1, (m3, g_adv, g_l1)

@@ -65,6 +65,22 @@ def make_wsegan_train_step(gen, disc, g_tx, d_tx, cfg: SEGANConfig):
     pow_weight = cfg.pow_weight
     n_fft = cfg.n_fft
     cdt = compute_dtype_of(cfg)
+    # --- perf knobs (measured campaign: BENCH.md r3 WSEGAN table) ---
+    # SEGAN_TPU_SNORM=cached: run the spectral-norm power iteration ONCE per step
+    # (first D pass) instead of once per D apply. The reference updates u/v on every
+    # forward (torch spectral_norm hook), so per_apply is the parity default; cached
+    # diverges only in power-iteration count (u/v converge to the same sigma) but
+    # removes the sequential u/v dependency chaining the D passes and lets XLA CSE
+    # one weight normalization across all of them. snorm-D only (train=False would
+    # change BatchNorm semantics).
+    cached_snorm = (os.environ.get("SEGAN_TPU_SNORM") == "cached"
+                    and disc.norm_type == "snorm")
+    # SEGAN_TPU_WS_FUSE_D=1: judge all real/fake pairs in ONE grouped apply
+    # (per-group phase draws + per-group BN stats via stats_groups; with snorm this
+    # also implies one power iteration for the whole fused pass, i.e. cached-like
+    # counting). Loss weighting identical to the sequential path.
+    fuse_env = os.environ.get("SEGAN_TPU_WS_FUSE_D")
+    fuse_d = fuse_env is not None and fuse_env not in ("0", "false", "off")
 
     def step(state: GANTrainState, clean, noisy, mask, additive_mask, rng, l1_weight):
         kz, kd1, kd2, kd3, kd4, kd5, kshuf, kinterf, kdrop = jax.random.split(rng, 9)
@@ -82,40 +98,63 @@ def make_wsegan_train_step(gen, disc, g_tx, d_tx, cfg: SEGANConfig):
 
         (Genh, g_vars_new), g_vjp = jax.vjp(gfwd, state.g_params)
 
-        def d_loss_fn(d_params):
-            dvars = state.d_vars
-            losses = {}
-            dp_c = cast_tree(d_params, cdt)
-
-            def d_pass(x_, ref, key, dv):
-                (y, _), m = disc.apply({"params": dp_c, **dv},
-                                       jnp.concatenate([x_, ref], -1),
-                                       train=True, mask=mask, mutable=list(MUTS),
-                                       rngs={"phase": key})
-                return y, m
-
-            d_real, dvars = d_pass(clean_c, noisy_c, kd1, dvars)
-            losses["d_real"] = cost(d_real, 1.0, mask)
-            d_fake, dvars = d_pass(jax.lax.stop_gradient(Genh), noisy_c, kd2, dvars)
-            losses["d_fake"] = cost(d_fake, 0.0, mask)
+        def build_pairs():
+            """(input, label, loss-name, phase-key) for every D judgment this step;
+            d_weight follows ref model.py:594,603,627 (1/2 -> misalign 1/3 ->
+            interf 1/4)."""
+            pairs = [
+                (jnp.concatenate([clean_c, noisy_c], -1), 1.0, "d_real", kd1),
+                (jnp.concatenate([jax.lax.stop_gradient(Genh), noisy_c], -1),
+                 0.0, "d_fake", kd2),
+            ]
             d_weight = 0.5
-            d_loss = losses["d_real"] + losses["d_fake"]
             if misalign:
                 perm = jax.random.permutation(kshuf, clean.shape[0])
-                clean_shuf = clean_c[perm]
-                d_shuf, dvars = d_pass(clean_c, clean_shuf, kd4, dvars)
-                losses["d_fake_shuf"] = cost(d_shuf, 0.0, mask)
+                pairs.append((jnp.concatenate([clean_c, clean_c[perm]], -1),
+                              0.0, "d_fake_shuf", kd4))
                 d_weight = 1.0 / 3
-                d_loss = d_loss + losses["d_fake_shuf"]
             if interf:
-                squares = _square_wave_batch(kinterf, clean.shape[0], clean.shape[1])
-                d_inter, dvars = d_pass(clean_c + squares.astype(cdt), noisy_c, kd5,
-                                        dvars)
-                losses["d_fake_inter"] = cost(d_inter, 0.0, mask)
+                squares = _square_wave_batch(kinterf, clean.shape[0],
+                                             clean.shape[1])
+                pairs.append((jnp.concatenate(
+                    [clean_c + squares.astype(cdt), noisy_c], -1),
+                    0.0, "d_fake_inter", kd5))
                 d_weight = 1.0 / 4
-                d_loss = d_loss + losses["d_fake_inter"]
-            d_loss = d_weight * d_loss
-            return d_loss, (dvars, losses)
+            return pairs, d_weight
+
+        def d_loss_fn(d_params):
+            dp_c = cast_tree(d_params, cdt)
+            pairs, d_weight = build_pairs()
+            losses = {}
+            if fuse_d:
+                G = len(pairs)
+                big = jnp.concatenate([p[0] for p in pairs], axis=0)
+                maskG = jnp.concatenate([mask] * G)
+                rngs = {("phase" if g == 0 else f"phase{g + 1}"): pairs[g][3]
+                        for g in range(G)}
+                (y, _), dvars = disc.apply(
+                    {"params": dp_c, **state.d_vars}, big,
+                    train=True, mask=maskG, stats_groups=G,
+                    mutable=list(MUTS), rngs=rngs)
+                B = clean.shape[0]
+                d_loss = 0.0
+                for g, (_, label, name, _) in enumerate(pairs):
+                    losses[name] = cost(y[g * B:(g + 1) * B], label, mask)
+                    d_loss = d_loss + losses[name]
+                return d_weight * d_loss, (dvars, losses)
+            dvars = state.d_vars
+            d_loss = 0.0
+            for i, (x_, label, name, key) in enumerate(pairs):
+                # cached snorm: only the first pass iterates u/v; later passes
+                # reuse the updated state (identical normalized weights -> CSE)
+                tr = True if (i == 0 or not cached_snorm) else False
+                (y, _), dvars = disc.apply({"params": dp_c, **dvars},
+                                           x_, train=tr, mask=mask,
+                                           mutable=list(MUTS),
+                                           rngs={"phase": key})
+                losses[name] = cost(y, label, mask)
+                d_loss = d_loss + losses[name]
+            return d_weight * d_loss, (dvars, losses)
 
         (d_loss, (d_vars_mid, d_losses)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(state.d_params)
@@ -128,7 +167,8 @@ def make_wsegan_train_step(gen, disc, g_tx, d_tx, cfg: SEGANConfig):
             (d_fake_, _), m3 = disc.apply(
                 {"params": cast_tree(d_params_new, cdt), **d_vars_mid},
                 jnp.concatenate([Genh_, noisy_c], -1),
-                train=True, mask=mask, mutable=list(MUTS), rngs={"phase": kd3})
+                train=not cached_snorm, mask=mask, mutable=list(MUTS),
+                rngs={"phase": kd3})
             g_adv = cost(d_fake_, 1.0, mask)
             genh_pow = power_spectrum_db(Genh_[..., 0].astype(jnp.float32), n_fft)
             pow_loss = pow_weight * masked_mean(jnp.abs(genh_pow - clean_pow), mask)

@@ -281,6 +281,76 @@ class TestWSEGANResume:
         assert len(calls) == 2, len(calls)
 
 
+class TestWSEGANDPassVariants:
+    """WSEGAN perf knobs (models/wsegan.py): SEGAN_TPU_WS_FUSE_D (all D pairs in one
+    grouped apply) and SEGAN_TPU_SNORM=cached (one power iteration per step) must
+    match the math of the paths they replace."""
+
+    def _step_result(self, monkeypatch, dnorm, snorm_mode=None, fuse=False):
+        import optax
+
+        from segan_pytorch_tpu.models.wsegan import make_wsegan_train_step
+
+        if snorm_mode:
+            monkeypatch.setenv("SEGAN_TPU_SNORM", snorm_mode)
+        else:
+            monkeypatch.delenv("SEGAN_TPU_SNORM", raising=False)
+        if fuse:
+            monkeypatch.setenv("SEGAN_TPU_WS_FUSE_D", "1")
+        else:
+            monkeypatch.delenv("SEGAN_TPU_WS_FUSE_D", raising=False)
+        cfg = small_cfg(wsegan=True, misalign_pair=True, interf_pair=True,
+                        dnorm_type=dnorm)
+        ws = WSEGAN(cfg)
+        ws.init_state(batch_size=4)
+        # SGD(1) => new_params = params - grads: direct gradient comparison
+        g_tx = d_tx = optax.sgd(1.0)
+        ws.state = ws.state.replace(g_opt=g_tx.init(ws.state.g_params),
+                                    d_opt=d_tx.init(ws.state.d_params))
+        step = make_wsegan_train_step(ws.G, ws.D, g_tx, d_tx, cfg)
+        clean, noisy, mask = synth_batch()
+        amask = np.zeros((4,), np.float32)
+        new_state, metrics, Genh, z = jax.jit(step)(
+            ws.state, jnp.asarray(clean), jnp.asarray(noisy), jnp.asarray(mask),
+            jnp.asarray(amask), jax.random.PRNGKey(7), jnp.float32(100.0))
+        return (jax.device_get(metrics),
+                flatten_tree(jax.device_get(new_state.d_params)),
+                np.asarray(Genh))
+
+    def test_fused_equals_sequential_bnorm(self, monkeypatch):
+        """bnorm D: grouped apply with per-group BN stats + per-group phase draws
+        reproduces the 4 sequential applies."""
+        m0, d0, g0 = self._step_result(monkeypatch, "bnorm")
+        m1, d1, g1 = self._step_result(monkeypatch, "bnorm", fuse=True)
+        for k in m0:
+            np.testing.assert_allclose(m0[k], m1[k], rtol=1e-5, atol=1e-6,
+                                       err_msg=k)
+        for k in d0:
+            np.testing.assert_allclose(d0[k], d1[k], rtol=2e-4, atol=5e-5,
+                                       err_msg=k)
+        np.testing.assert_allclose(g0, g1, atol=1e-6)
+
+    def test_fused_equals_cached_sequential_snorm(self, monkeypatch):
+        """snorm D: the fused pass iterates u/v once for the whole group stack —
+        exactly the cached-sequential semantics (first pass iterates, rest reuse)."""
+        m0, d0, g0 = self._step_result(monkeypatch, "snorm", snorm_mode="cached")
+        m1, d1, g1 = self._step_result(monkeypatch, "snorm", snorm_mode="cached",
+                                       fuse=True)
+        for k in m0:
+            np.testing.assert_allclose(m0[k], m1[k], rtol=1e-5, atol=1e-6,
+                                       err_msg=k)
+        for k in d0:
+            np.testing.assert_allclose(d0[k], d1[k], rtol=2e-4, atol=5e-5,
+                                       err_msg=k)
+        np.testing.assert_allclose(g0, g1, atol=1e-6)
+
+    def test_cached_snorm_runs_and_is_finite(self, monkeypatch):
+        m, d, g = self._step_result(monkeypatch, "snorm", snorm_mode="cached")
+        for k, v in m.items():
+            assert np.isfinite(v), (k, v)
+        assert np.isfinite(g).all()
+
+
 class TestL1Schedule:
     def test_decay_only_after_epoch(self):
         """l1 weight decays by l1_dec_step per batch once epoch >= l1_dec_epoch,
