@@ -524,6 +524,29 @@ class SEGAN:
         self._setup_parallel()
         return self._jit_step
 
+    def _install_preempt_handler(self):
+        """SIGTERM -> finish the in-flight step, checkpoint, exit cleanly (TPU
+        preemption notice / k8s pod eviction safety). Returns a restore()
+        callable; no-op when not on the main thread (signals only deliverable
+        there)."""
+        import signal
+        import threading
+
+        self._preempted = False
+        if threading.current_thread() is not threading.main_thread():
+            return lambda: None
+
+        def _on_term(signum, frame):
+            self._preempted = True
+            print("[!] SIGTERM: checkpoint + clean shutdown at the next step "
+                  "boundary", flush=True)
+
+        try:
+            prev = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:  # non-main interpreter contexts
+            return lambda: None
+        return lambda: signal.signal(signal.SIGTERM, prev)
+
     def train_step(self, clean, noisy, mask, rng, l1_weight: float):
         clean, noisy, mask = self._shard_batch(clean, noisy, mask)
         new_state, metrics, Genh, z = self._jit_step(
@@ -597,6 +620,7 @@ class SEGAN:
             from ..parallel import batch_sharding
 
             batch_shard = batch_sharding(self.mesh)
+        restore_sig = self._install_preempt_handler()
         for epoch in range(start_epoch, cfg.epoch + 1):
             timer.start()
             for bidx, batch in enumerate(
@@ -660,6 +684,15 @@ class SEGAN:
                             self.gen_train_samples(clean_samples, noisy_samples, z_sample,
                                                iteration=iteration)
                 iteration += 1
+                if self._preempted:
+                    break
+
+            if self._preempted:
+                print(f"[!] preempted at iteration {iteration - 1}: saving "
+                      "checkpoint and stopping")
+                if is_chief:
+                    self.save(eoe_g_saver, eoe_d_saver, iteration)
+                break
 
             if va_dloader is not None:
                 # eval_max_samples: batches scored per epoch (1 = reference parity,
@@ -701,6 +734,7 @@ class SEGAN:
                     or epoch == cfg.epoch:
                 if is_chief:
                     self.save(eoe_g_saver, eoe_d_saver, iteration)
+        restore_sig()
         for sv in (eoe_g_saver, eoe_d_saver, best_saver_g, best_saver_d):
             sv.flush()  # all checkpoint bytes on disk before train() returns
         self.close_pool()  # don't leak eval workers past the training run
@@ -825,16 +859,45 @@ class SEGAN:
             pass
 
     # -- evaluation -----------------------------------------------------------
+    def _local_inference_state(self):
+        """(g_params, g_vars) usable for process-LOCAL inference.
+
+        Under multi-host training, state params are globally-replicated arrays
+        spanning all processes; jitting them against a host-local batch mixes
+        global and local shardings. Each process's addressable shard of a
+        replicated array IS the full value, so materialize it and re-place on
+        the local default device (device_put once — numpy leaves in the state
+        would re-upload per jitted call)."""
+        if jax.process_count() <= 1:
+            return self.state.g_params, self.state.g_vars
+
+        def localize(a):
+            if isinstance(a, jax.Array) and not a.is_fully_addressable:
+                return np.asarray(a.addressable_shards[0].data)
+            return a
+        return jax.device_put(
+            jax.tree.map(localize, (self.state.g_params, self.state.g_vars)))
+
     def evaluate(self, cfg: SEGANConfig, dloader, log_freq: int,
                  do_noisy: bool = False, max_samples: int = 1):
         """Objective eval with PESQ/SSNR/CSIG/CBAK/COVL over a host process pool
-        (ref model.py:440-507)."""
+        (ref model.py:440-507).
+
+        Multi-host: every process runs the (cheap, on-device) inference on the
+        full batch, but the EXPENSIVE host-side composite scoring is sharded —
+        process p scores rows r with r % process_count == p — and the
+        per-utterance results are exchanged with process_allgather afterwards,
+        so all processes return the identical full result set (early stop stays
+        in lockstep) at 1/process_count of the scoring cost."""
         from ..metrics import composite_helper
 
-        evals = {"pesq": [], "ssnr": [], "csig": [], "cbak": [], "covl": []}
-        noisy_evals = {"pesq": [], "ssnr": [], "csig": [], "cbak": [], "covl": []}
+        METRIC_KEYS = ("pesq", "ssnr", "csig", "cbak", "covl")
+        evals = {k: [] for k in METRIC_KEYS}
+        noisy_evals = {k: [] for k in METRIC_KEYS}
         if self.pool is None:
             self.pool = mp.Pool(cfg.eval_workers)
+        nproc, pidx = jax.process_count(), jax.process_index()
+        g_params, g_vars = self._local_inference_state()
         all_ret = []
         for bidx, batch in enumerate(dloader, start=1):
             clean = np.asarray(batch["clean"], np.float32)  # (B, T)
@@ -852,24 +915,31 @@ class SEGAN:
             krng = jax.random.fold_in(
                 jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed + 77),
                                    int(self.state.step)), bidx)
-            Genh = np.asarray(self.infer_G(jnp.asarray(noisy[..., None]),
-                                           rng=krng))[..., 0]
+            z = None
+            if not self.G.no_z:
+                z = self.G.sample_z(krng, (*noisy.shape, 1))
+            Genh_d, _ = self._gfwd_jit()(g_params, g_vars,
+                                         jnp.asarray(noisy[..., None]), z)
+            Genh = np.asarray(Genh_d)[..., 0]
             clean, noisy, Genh = clean[:n_valid], noisy[:n_valid], Genh[:n_valid]
             clean_de = de_emphasize_np(clean, self.preemph)
             genh_de = de_emphasize_np(Genh, self.preemph)
             beg_t = timeit.default_timer()
+            rows = [i for i in range(clean.shape[0]) if i % nproc == pidx]
             if do_noisy:
                 noisy_de = de_emphasize_np(noisy, self.preemph)
-                args = [(clean_de[i], genh_de[i], noisy_de[i])
-                        for i in range(clean.shape[0])]
+                args = [(clean_de[i], genh_de[i], noisy_de[i]) for i in rows]
             else:
-                args = [(clean_de[i], genh_de[i], None) for i in range(clean.shape[0])]
+                args = [(clean_de[i], genh_de[i], None) for i in rows]
             all_ret.extend(self.pool.map(composite_helper, args))
             end_t = timeit.default_timer()
-            print(f"Time to process eval with {clean.shape[0]} samples"
+            print(f"Time to process eval with {len(rows)} samples"
                   f" : {end_t - beg_t} s")
             if bidx >= max_samples:
                 break
+
+        if nproc > 1:
+            all_ret = _allgather_eval_results(all_ret, METRIC_KEYS, do_noisy)
 
         def fill(ret_dict, in_dict):
             for k, v in in_dict.items():
@@ -883,6 +953,43 @@ class SEGAN:
         for eval_ in all_ret:
             fill(evals, eval_)
         return evals
+
+
+def _allgather_eval_results(local_ret, keys, do_noisy):
+    """Exchange per-utterance metric dicts across processes: pad each process's
+    (n_local, n_metrics) block to the pod-max row count, allgather, and rebuild
+    the full result list (identical on every process; order is by process then
+    row — only means are consumed downstream)."""
+    from jax.experimental import multihost_utils
+
+    nk = len(keys) * (2 if do_noisy else 1)
+
+    def row_of(item):
+        if do_noisy:
+            e, ne = item
+            return [e[k] for k in keys] + [ne[k] for k in keys]
+        return [item[k] for k in keys]
+
+    local = np.asarray([row_of(r) for r in local_ret],
+                       np.float64).reshape(-1, nk)
+    counts = np.asarray(
+        multihost_utils.process_allgather(np.int64(local.shape[0])))
+    max_n = max(int(counts.max()), 1)
+    padded = np.full((max_n, nk), np.nan)
+    if local.shape[0]:
+        padded[: local.shape[0]] = local
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    out = []
+    for p in range(gathered.shape[0]):
+        for r in range(int(counts[p])):
+            row = gathered[p, r]
+            e = {k: float(row[i]) for i, k in enumerate(keys)}
+            if do_noisy:
+                ne = {k: float(row[len(keys) + i]) for i, k in enumerate(keys)}
+                out.append((e, ne))
+            else:
+                out.append(e)
+    return out
 
 
 def _is_torch_ckpt(path: str) -> bool:

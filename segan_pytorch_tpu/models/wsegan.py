@@ -292,6 +292,7 @@ class WSEGAN(SEGAN):
                     yield b
 
         stream = device_prefetch(batch_stream(), sharding=batch_shard)
+        restore_sig = self._install_preempt_handler()
         total_iters = cfg.epoch * num_batches
         # resume-aware: continue iteration numbering from the restored step so a
         # resumed run executes only the remaining budget and EOE ckpt names carry on
@@ -353,6 +354,13 @@ class WSEGAN(SEGAN):
                         or iteration == total_iters:
                     if is_chief:
                         self.save(eoe_g_saver, eoe_d_saver, iteration)
+            if self._preempted:
+                print(f"[!] preempted at iteration {iteration}: saving "
+                      "checkpoint and stopping")
+                if is_chief:
+                    self.save(eoe_g_saver, eoe_d_saver, iteration)
+                break
+        restore_sig()
         eoe_g_saver.flush()
         eoe_d_saver.flush()
 
@@ -509,6 +517,7 @@ class AEWSEGAN(WSEGAN):
                     yield b
 
         stream = device_prefetch(batch_stream())
+        restore_sig = self._install_preempt_handler()
         total_iters = cfg.epoch * num_batches
         # resume-aware: same remaining-budget semantics as WSEGAN.train above
         start_iter = int(self.state.step) if self.state is not None else 0
@@ -566,6 +575,15 @@ class AEWSEGAN(WSEGAN):
                               **self.state.g_vars}
                     if is_chief:
                         eoe_g_saver.save("Generator", iteration, g_tree)
+            if self._preempted:
+                print(f"[!] preempted at iteration {iteration}: saving "
+                      "checkpoint and stopping")
+                if is_chief:
+                    eoe_g_saver.save("Generator", iteration,
+                                     {"params": self.state.g_params,
+                                      **self.state.g_vars})
+                break
+        restore_sig()
         eoe_g_saver.flush()
 
     def evaluate_sd(self, cfg: SEGANConfig, dloader, max_samples: int = 1) -> float:

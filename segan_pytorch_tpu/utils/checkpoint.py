@@ -21,6 +21,25 @@ import numpy as np
 # ---------------------------------------------------------------------------
 # flat <-> nested pytree-of-dicts
 # ---------------------------------------------------------------------------
+def _leaf_to_np(leaf) -> np.ndarray:
+    """np.asarray that also handles multi-host GLOBAL jax arrays: np.asarray on
+    an array spanning non-addressable devices raises, but checkpoint state is
+    replicated — each process's first addressable shard IS the full value."""
+    try:
+        import jax
+    except Exception:  # numpy-only contexts
+        return np.asarray(leaf)
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        shard = leaf.addressable_shards[0]
+        arr = np.asarray(shard.data)
+        if arr.shape != leaf.shape:
+            raise ValueError(
+                f"cannot checkpoint a non-replicated global array of shape "
+                f"{leaf.shape} (local shard {arr.shape}); gather it first")
+        return arr
+    return np.asarray(leaf)
+
+
 def flatten_tree(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     if isinstance(tree, dict):
@@ -28,7 +47,7 @@ def flatten_tree(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
             out.update(flatten_tree(v, f"{prefix}{k}/"))
         return out
     # leaf
-    out[prefix[:-1]] = np.asarray(tree)
+    out[prefix[:-1]] = _leaf_to_np(tree)
     return out
 
 

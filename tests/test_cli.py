@@ -98,6 +98,48 @@ class TestTrainCleanCLI:
         assert "divisible" in (r.stdout + r.stderr)
 
 
+class TestPreemption:
+    def test_sigterm_checkpoints_and_exits_cleanly(self, cli_data):
+        """TPU-preemption safety: SIGTERM mid-training must finish the in-flight
+        step, write an EOE checkpoint, and exit 0 (models/segan.py
+        _install_preempt_handler)."""
+        import signal
+        import time
+
+        save = str(cli_data / "ckpt_term")
+        cache = str(cli_data / "cache_term")
+        env = dict(os.environ, SEGAN_TPU_PLATFORM="cpu")
+        p = subprocess.Popen(
+            [sys.executable, "-u", "train.py", "--save_path", save,
+             "--clean_trainset", str(cli_data / "clean"),
+             "--noisy_trainset", str(cli_data / "noisy"),
+             "--cache_dir", cache, "--epoch", "200", "--save_freq", "1"] + TINY,
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+        # wait for the first logged step (compile done, loop running)
+        deadline = time.time() + 300
+        lines = []
+        for line in p.stdout:
+            lines.append(line)
+            if "(Iter" in line:
+                break
+            if time.time() > deadline:
+                p.kill()
+                raise AssertionError("train never reached a step:\n"
+                                     + "".join(lines[-30:]))
+        p.send_signal(signal.SIGTERM)
+        try:
+            out = p.stdout.read()
+        except Exception:
+            out = ""
+        rc = p.wait(timeout=120)
+        full = "".join(lines) + out
+        assert rc == 0, full[-2000:]
+        assert "SIGTERM" in full and "preempted" in full, full[-2000:]
+        idx = json.load(open(os.path.join(save, "EOE_G-checkpoints")))
+        assert os.path.exists(os.path.join(save, "weights_" + idx["current"]))
+
+
 class TestConverterCLI:
     def test_weight_converter_roundtrip(self, cli_data, tmp_path):
         """weight_converter.py converts a torch G ckpt to the native format, which

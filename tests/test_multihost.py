@@ -16,7 +16,8 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r"""
 import os, sys
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+NDEV = int(os.environ.get("MH_NDEV", "4"))
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={NDEV}"
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -26,7 +27,7 @@ pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 from segan_pytorch_tpu.parallel import initialize_distributed
 initialize_distributed(f"127.0.0.1:{port}", nproc, pid)
 assert jax.process_count() == nproc, jax.process_count()
-assert len(jax.devices()) == 4 * nproc, jax.devices()
+assert len(jax.devices()) == NDEV * nproc, jax.devices()
 
 import numpy as np
 from segan_pytorch_tpu.utils.config import SEGANConfig
@@ -35,12 +36,12 @@ from segan_pytorch_tpu.models import SEGAN
 GLOBAL_B = 16
 cfg = SEGANConfig(slice_size=1024, genc_fmaps=[8, 16, 32], genc_poolings=[4, 4, 4],
                   z_dim=32, denc_fmaps=[8, 16, 32], denc_poolings=[4, 4, 4],
-                  dpool_slen=16, batch_size=GLOBAL_B, dp=4 * nproc,
+                  dpool_slen=16, batch_size=GLOBAL_B, dp=NDEV * nproc,
                   save_path=f"/tmp/mh_smoke_{pid}")
 segan = SEGAN(cfg)
 segan.init_state(jax.random.PRNGKey(7), batch_size=GLOBAL_B)  # same seed on all hosts
 segan.prepare_train(GLOBAL_B)
-assert segan.mesh is not None and segan.mesh.devices.size == 4 * nproc
+assert segan.mesh is not None and segan.mesh.devices.size == NDEV * nproc
 
 # deterministic GLOBAL batch; every process slices out its own local shard
 rng = np.random.RandomState(0)
@@ -89,20 +90,63 @@ m2 = {k: float(v) for k, v in metrics.items()}
 for k, v in m2.items():
     assert np.isfinite(v), (k, v)
 print("MHLOADER", pid, " ".join(f"{k}={v:.6f}" for k, v in sorted(m2.items())), flush=True)
+
+# --- phase 3: chief-written checkpoint resumed by ALL processes ---
+# (shared-FS semantics: same machine here; resume() cross-checks a param
+# checksum via process_allgather and raises loudly on divergence)
+from jax.experimental import multihost_utils
+from segan_pytorch_tpu.utils.checkpoint import Saver
+
+save_dir = os.environ["MH_RESUME_DIR"]
+if pid == 0:
+    g_saver = Saver(save_dir, max_ckpts=3, prefix="EOE_G-")
+    d_saver = Saver(save_dir, max_ckpts=3, prefix="EOE_D-")
+    segan.save(g_saver, d_saver, step=7)
+multihost_utils.process_allgather(np.int32(pid))  # barrier: ckpt visible to all
+
+segan2 = SEGAN(cfg)
+segan2.init_state(jax.random.PRNGKey(pid + 123), batch_size=GLOBAL_B)  # DIVERGENT init
+step = segan2.resume(save_dir)  # must converge all processes onto the chief ckpt
+assert step == 7, step
+import jax.numpy as jnp
+csum = float(sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(segan2.state.g_params)))
+print(f"MHRESUME {pid} step={step} csum={csum:.6f}", flush=True)
+
+# --- phase 4: sharded evaluate — every process scores 1/nproc of the rows,
+# process_allgather rebuilds the identical full result set everywhere ---
+class EvalDS:
+    def __len__(self):
+        return 6
+    def __getitem__(self, i):
+        tt = np.arange(4096) / 16000.0
+        c = (np.sin(2 * np.pi * (180 + 25 * i) * tt) * 0.4).astype(np.float32)
+        return {"uttname": f"e{i}", "clean": c,
+                "noisy": c + 0.1 * np.random.RandomState(100 + i).randn(4096).astype(np.float32),
+                "slice_idx": 0}
+
+va = DataLoader(EvalDS(), batch_size=6, shuffle=False, seed=1)
+evals = segan.evaluate(cfg, va, log_freq=100, do_noisy=False, max_samples=1)
+assert len(evals["ssnr"]) == 6, {k: len(v) for k, v in evals.items()}
+segan.close_pool()
+means = " ".join(f"{k}={float(np.mean(v)):.6f}" for k, v in sorted(evals.items()))
+print("MHEVAL", pid, means, flush=True)
 """
 
 
 @pytest.mark.skipif(sys.platform != "linux", reason="gloo smoke is linux-only")
-def test_two_process_train_step(tmp_path):
+@pytest.mark.parametrize("nproc,ndev,port", [(2, 4, "29531"), (4, 2, "29533")])
+def test_multi_process_train_step(tmp_path, nproc, ndev, port):
+    """2 procs x 4 devices and 4 procs x 2 devices over the same 8-device mesh:
+    train step + sharded loader + chief-checkpoint resume + sharded evaluate."""
     worker = tmp_path / "mh_worker.py"
     worker.write_text(WORKER)
-    env = dict(os.environ, PYTHONPATH=ROOT)
+    env = dict(os.environ, PYTHONPATH=ROOT, MH_NDEV=str(ndev),
+               MH_RESUME_DIR=str(tmp_path / "resume_ck"))
     env.pop("JAX_PLATFORMS", None)
-    port = "29531"
     procs = [subprocess.Popen(
-        [sys.executable, str(worker), str(pid), "2", port],
+        [sys.executable, str(worker), str(pid), str(nproc), port],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        cwd=ROOT, env=env) for pid in (0, 1)]
+        cwd=ROOT, env=env) for pid in range(nproc)]
     outs = []
     for p in procs:
         try:
@@ -113,13 +157,19 @@ def test_two_process_train_step(tmp_path):
             raise
         outs.append(out)
         assert p.returncode == 0, out[-3000:]
-    lines = [next(ln for ln in o.splitlines() if ln.startswith("MHOK"))
-             for o in outs]
-    # the replicated metrics must be IDENTICAL on both hosts (same global step)
-    m0 = lines[0].split(" ", 2)[2]
-    m1 = lines[1].split(" ", 2)[2]
-    assert m0 == m1, (m0, m1)
-    # phase 2: sharded-DataLoader path — again identical across hosts
-    ld = [next(ln for ln in o.splitlines() if ln.startswith("MHLOADER"))
-          for o in outs]
-    assert ld[0].split(" ", 2)[2] == ld[1].split(" ", 2)[2], ld
+
+    def tail_of(prefix, o):
+        return next(ln for ln in o.splitlines() if ln.startswith(prefix)
+                    ).split(" ", 2)[2]
+
+    for prefix in ("MHOK", "MHLOADER", "MHEVAL"):
+        # replicated metrics / reconstructed eval sets must be IDENTICAL on
+        # every host (otherwise early stop desyncs the pod)
+        vals = [tail_of(prefix, o) for o in outs]
+        assert all(v == vals[0] for v in vals), (prefix, vals)
+    # resume: all processes restored the chief's checkpoint (identical checksum
+    # despite deliberately divergent re-init seeds)
+    res = [next(ln for ln in o.splitlines() if ln.startswith("MHRESUME"))
+           for o in outs]
+    csums = {ln.split()[-1] for ln in res}
+    assert len(csums) == 1, res
