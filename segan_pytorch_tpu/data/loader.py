@@ -70,6 +70,8 @@ class DataLoader:
         prefetch: int = 4,
         shard_id: int = 0,
         num_shards: int = 1,
+        shuffle_buffer: int = 0,
+        emit_dtype: Optional[str] = None,
     ):
         """shard_id/num_shards: multi-host data sharding. batch_size stays the
         GLOBAL batch; every process walks the identical seeded global shuffle and
@@ -77,7 +79,20 @@ class DataLoader:
         [shard_id*Bs:(shard_id+1)*Bs] of the padded global batch), so the global
         batch assembled by parallel.shard_batch / make_array_from_process_local_data
         is bit-identical to the single-host loader's. IO shards naturally: only the
-        local rows are gathered from the slice cache."""
+        local rows are gathered from the slice cache.
+
+        shuffle_buffer > 0 switches to STREAMING shuffle: each shard walks its
+        strided index subset (shard_id::num_shards) in order through a bounded
+        shuffle buffer of that many items — O(buffer) randomness state, mostly
+        sequential reads (corpora too large for a comfortable global shuffle).
+        The ragged tail is dropped and batches are NOT bit-identical to the
+        global-shuffle loader (each shard shuffles independently); every shard
+        still emits the same batch count, so multi-host assembly stays aligned.
+
+        emit_dtype ('bfloat16' | 'float16' | ...): cast the clean/noisy arrays
+        at collate time — halves host->device bytes for bf16 training (mask and
+        metadata stay float32). The train step casts to its compute dtype on
+        device either way, so this only moves the cast before the transfer."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -99,9 +114,13 @@ class DataLoader:
             raise ValueError(f"shard_id {shard_id} out of range [0, {num_shards})")
         self.shard_id = shard_id
         self.num_shards = num_shards
+        self.shuffle_buffer = int(shuffle_buffer)
+        self.emit_dtype = np.dtype(emit_dtype) if emit_dtype else None
 
     def __len__(self):
         n = len(self.dataset)
+        if self.shuffle_buffer > 0:
+            return (n // self.num_shards) // (self.batch_size // self.num_shards)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -152,11 +171,56 @@ class DataLoader:
         if gather is not None and self.collate_fn is collate_batch:
             batch = gather(indices)
             if batch is not None:
-                return batch
+                return self._cast(batch)
         samples = [self.dataset[i] for i in indices]
-        return self.collate_fn(samples)
+        return self._cast(self.collate_fn(samples))
+
+    def _cast(self, batch: dict) -> dict:
+        if self.emit_dtype is not None:
+            for k in ("clean", "noisy"):
+                if k in batch:
+                    batch[k] = np.asarray(batch[k]).astype(self.emit_dtype)
+        return batch
+
+    def _buffered_indices(self):
+        """Streaming bounded-buffer shuffle over this shard's strided subset."""
+        rnd = _random.Random(self.rng.random())  # new stream each epoch
+        bs_local = self.batch_size // self.num_shards
+        n_batches = len(self)
+        buf: list = []
+        out: list = []
+        emitted = 0
+
+        def pop_random():
+            j = rnd.randrange(len(buf))
+            buf[j], buf[-1] = buf[-1], buf[j]
+            return buf.pop()
+
+        for i in range(self.shard_id, len(self.dataset), self.num_shards):
+            buf.append(i)
+            if len(buf) >= max(self.shuffle_buffer, 1):
+                out.append(pop_random() if self.shuffle else buf.pop(0))
+                if len(out) == bs_local:
+                    yield out
+                    out = []
+                    emitted += 1
+                    if emitted == n_batches:
+                        return
+        while buf and emitted < n_batches:
+            out.append(pop_random() if self.shuffle else buf.pop(0))
+            if len(out) == bs_local:
+                yield out
+                out = []
+                emitted += 1
 
     def __iter__(self) -> Iterator[dict]:
+        if self.shuffle_buffer > 0:
+            bs_local = self.batch_size // self.num_shards
+            for rows in self._buffered_indices():
+                batch = self._gather(rows)
+                batch["mask"] = np.ones((bs_local,), np.float32)
+                yield batch
+            return
         batches = list(self._batch_indices())
         if self.num_workers <= 1:
             for b in batches:

@@ -20,7 +20,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .wav_io import read_wav_16k, read_wav_raw
+from .wav_io import read_wav_16k, read_wav_raw, wav_num_samples_16k
 from ..ops.signal import (
     normalize_wave_minmax,
     pre_emphasize_np,
@@ -30,8 +30,14 @@ from ..ops.signal import (
 
 def _slice_index_job(args) -> List[Tuple[int, int]]:
     path, window_size, stride = args
-    wav, _ = read_wav_16k(path, 16000)
-    return slice_signal_indices(wav.shape[0], window_size, stride)
+    # slice indexing needs only the 16 kHz sample COUNT: a RIFF-header read
+    # makes the cold cache build a metadata pass (no decode); fall back to the
+    # full decode for non-16k / non-PCM files that read_wav_16k would resample
+    n = wav_num_samples_16k(path)
+    if n is None:
+        wav, _ = read_wav_16k(path, 16000)
+        n = wav.shape[0]
+    return slice_signal_indices(n, window_size, stride)
 
 
 def collate_batch(samples: Sequence[dict]) -> dict:

@@ -42,6 +42,46 @@ def read_wav_16k(path: str, sr: int = 16000):
     return wav.astype(np.float32), sr
 
 
+def wav_num_samples_16k(path: str):
+    """Sample count at 16 kHz from the RIFF header alone (no decode).
+
+    Returns None when the header can't prove the answer (non-RIFF container,
+    non-16 kHz rate that would be resampled by read_wav_16k, compressed
+    format) — callers fall back to a full read. Cold slice-index builds only
+    need lengths, so this turns the corpus scan into a metadata pass.
+    """
+    import struct
+
+    try:
+        with open(path, "rb") as f:
+            riff = f.read(12)
+            if len(riff) < 12 or riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+                return None
+            fmt = None
+            while True:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    return None
+                cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+                if cid == b"fmt ":
+                    body = f.read(size)
+                    if len(body) < 16:
+                        return None
+                    (tag, n_ch, rate, _br, block_align,
+                     _bits) = struct.unpack("<HHIIHH", body[:16])
+                    if tag not in (1, 3) or rate != 16000 or block_align == 0:
+                        return None  # compressed / needs resampling
+                    fmt = (n_ch, block_align)
+                elif cid == b"data":
+                    if fmt is None:
+                        return None
+                    return size // fmt[1]
+                else:
+                    f.seek(size + (size & 1), 1)
+    except OSError:
+        return None
+
+
 def write_wav(path: str, wav: np.ndarray, sr: int = 16000, subtype: str = "float"):
     """Write a wav. 'float' keeps float32 (scipy wavfile float path, like ref
     wavfile.write of float arrays, clean.py:78); 'pcm16' quantizes like soundfile

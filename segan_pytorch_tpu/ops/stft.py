@@ -4,11 +4,24 @@ window=None (rectangular), normalized=True, center=True (reflect pad), onesided.
 
 The reference takes the complex modulus and 10*log10(|X|^2 + 1e-19)
 (model.py:645-652; note the literal is written `10e-20` there).
+
+TPU note: XLA's TPU FFT is slow — the in-step power loss measured 39 ms/step at
+the canonical WSEGAN batch 150 (tools/wsegan_breakdown.py), ~40% of the whole
+step. Since the torch-default window is a RECTANGULAR win_length-sample window
+centered inside the n_fft frame, each frame has only win_length (320) nonzero
+samples, and |X_k| is invariant to the window's absolute phase — so the
+magnitude equals a (B*F, 320) @ (320, 2*(n_fft//2+1)) real DFT matmul, which
+maps straight onto the MXU. `method='matmul'` (auto-selected on TPU) computes
+exactly that; 'fft' keeps the rfft lowering (used on CPU, where fft is fine).
 """
 from __future__ import annotations
 
+import os
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _frame(x: jax.Array, frame_length: int, hop: int) -> jax.Array:
@@ -19,6 +32,27 @@ def _frame(x: jax.Array, frame_length: int, hop: int) -> jax.Array:
     return x[:, idx]
 
 
+@lru_cache(maxsize=8)
+def _dft_matrix(win_length: int, n_fft: int):
+    """(win_length, 2*(n_fft//2+1)) real DFT basis [cos | sin] for magnitude.
+
+    The window sits at an arbitrary offset inside the n_fft frame; |X_k| is
+    invariant to that constant phase factor, so the basis uses j in
+    [0, win_length) directly."""
+    k = np.arange(win_length)
+    freqs = np.arange(n_fft // 2 + 1)
+    ang = -2.0 * np.pi * np.outer(k, freqs) / n_fft
+    return jnp.asarray(
+        np.concatenate([np.cos(ang), np.sin(ang)], axis=1).astype(np.float32))
+
+
+def _resolve_method(method: str | None) -> str:
+    method = method or os.environ.get("SEGAN_TPU_STFT", "auto")
+    if method == "auto":
+        return "matmul" if jax.default_backend() == "tpu" else "fft"
+    return method
+
+
 def stft_mag(
     x: jax.Array,
     n_fft: int = 2048,
@@ -26,25 +60,46 @@ def stft_mag(
     win_length: int = 320,
     normalized: bool = True,
     center: bool = True,
+    method: str | None = None,
 ) -> jax.Array:
     """Magnitude STFT of (B, T) -> (B, n_fft//2+1, n_frames), torch.stft layout.
 
     window=None in torch means a rectangular window of win_length centered inside the
-    n_fft frame (zero-padded both sides).
+    n_fft frame (zero-padded both sides). `method`: 'fft' | 'matmul' | None
+    (auto: matmul on TPU — see module docstring; override with SEGAN_TPU_STFT).
     """
     B, T = x.shape
     n_fft = min(T, n_fft)
+    win_length = min(win_length, n_fft)
     if center:
         pad = n_fft // 2
         x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-    frames = _frame(x, n_fft, hop_length)  # (B, F, n_fft)
-    if win_length < n_fft:
-        # rectangular window of win_length centered in the frame
+    if _resolve_method(method) == "matmul":
+        # frame only the nonzero window samples and contract with the real DFT
+        # basis on the MXU (fp32 at HIGHEST precision for fft parity)
         left = (n_fft - win_length) // 2
-        w = jnp.zeros((n_fft,), x.dtype).at[left : left + win_length].set(1.0)
-        frames = frames * w
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # (B, F, n_fft//2+1)
-    mag = jnp.abs(spec)
+        Tp = x.shape[1]
+        n_frames = 1 + (Tp - n_fft) // hop_length
+        idx = (jnp.arange(n_frames)[:, None] * hop_length + left
+               + jnp.arange(win_length)[None, :])
+        frames = x[:, idx].astype(jnp.float32)  # (B, F, win_length)
+        basis = _dft_matrix(win_length, n_fft)
+        Y = jax.lax.dot_general(
+            frames, basis, (((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)  # (B, F, 2*(nb))
+        nb = n_fft // 2 + 1
+        mag = jnp.sqrt(Y[..., :nb] ** 2 + Y[..., nb:] ** 2)
+        mag = mag.astype(x.dtype)
+    else:
+        frames = _frame(x, n_fft, hop_length)  # (B, F, n_fft)
+        if win_length < n_fft:
+            # rectangular window of win_length centered in the frame
+            left = (n_fft - win_length) // 2
+            w = jnp.zeros((n_fft,), x.dtype).at[left : left + win_length].set(1.0)
+            frames = frames * w
+        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # (B, F, n_fft//2+1)
+        mag = jnp.abs(spec)
     if normalized:
         mag = mag / jnp.sqrt(jnp.asarray(n_fft, x.dtype))
     return jnp.transpose(mag, (0, 2, 1))  # (B, bins, frames)

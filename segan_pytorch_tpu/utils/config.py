@@ -142,6 +142,10 @@ class SEGANConfig:
     # train.py:7 but never wires it — this closes that gap)
     noises_dir: Optional[str] = None
     snr_levels: List[int] = field(default_factory=lambda: [0, 5, 10])
+    # streaming bounded-buffer shuffle (data/loader.py); 0 = global shuffle
+    shuffle_buffer: int = 0
+    # collate-time cast of clean/noisy (e.g. 'bfloat16' halves H2D bytes)
+    loader_dtype: Optional[str] = None
 
     def __post_init__(self):
         if self.bias is None:

@@ -85,6 +85,7 @@ def _make_ref_ckpt_and_cfg(tmp_path):
 
 
 class TestABParityHarness:
+    @pytest.mark.slow
     def test_end_to_end_with_reference_torch_model(self, corpus, tmp_path):
         ckpt, cfg_file = _make_ref_ckpt_and_cfg(tmp_path)
         out = str(tmp_path / "report.json")

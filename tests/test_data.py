@@ -8,6 +8,8 @@ import pytest
 
 import jax
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.fixture(scope="module")
 def wav_dirs(tmp_path_factory):
@@ -124,6 +126,68 @@ class TestLoader:
             DataLoader(ds, batch_size=4, num_shards=2, shard_id=2)
         with pytest.raises(ValueError):
             DataLoader(ds, batch_size=4, num_shards=2, pad_final=False)
+
+
+class TestLoaderModes:
+    def test_wav_header_sample_count(self, wav_dirs):
+        """Header-only length == decoded length for 16 kHz PCM (the cold
+        slice-index build path)."""
+        from segan_pytorch_tpu.data.wav_io import (read_wav_16k,
+                                                   wav_num_samples_16k)
+
+        clean_d, _, _ = wav_dirs
+        import glob as _glob
+
+        for p in sorted(_glob.glob(os.path.join(clean_d, "*.wav"))):
+            n_hdr = wav_num_samples_16k(p)
+            n_dec = read_wav_16k(p, 16000)[0].shape[0]
+            assert n_hdr == n_dec, p
+
+    def test_wav_header_rejects_non_riff(self, tmp_path):
+        from segan_pytorch_tpu.data.wav_io import wav_num_samples_16k
+
+        p = tmp_path / "x.wav"
+        p.write_bytes(b"NOTAWAVFILE")
+        assert wav_num_samples_16k(str(p)) is None
+
+    def test_shuffle_buffer_mode(self, wav_dirs, tmp_path):
+        """Streaming shuffle: full coverage minus the ragged tail, bounded
+        buffer, stable batch count, per-seed determinism."""
+        from segan_pytorch_tpu.data import SEDataset, DataLoader
+
+        clean_d, noisy_d, _ = wav_dirs
+        ds = SEDataset(clean_d, noisy_d, 0.95, cache_dir=str(tmp_path / "sb"),
+                       slice_size=16384, stride=0.5)
+        dl = DataLoader(ds, batch_size=2, shuffle=True, seed=3,
+                        shuffle_buffer=3)
+        n_batches = len(dl)
+        assert n_batches == len(ds) // 2
+        seen = []
+        for b in dl:
+            assert b["clean"].shape == (2, 16384)
+            assert b["mask"].tolist() == [1.0, 1.0]
+            seen.append(b["slice_idx"].tolist())
+        assert len(seen) == n_batches
+        # two shards cover disjoint strided subsets with equal batch counts
+        d0 = DataLoader(ds, batch_size=2, shuffle=True, seed=3,
+                        shuffle_buffer=3, shard_id=0, num_shards=2)
+        d1 = DataLoader(ds, batch_size=2, shuffle=True, seed=3,
+                        shuffle_buffer=3, shard_id=1, num_shards=2)
+        assert len(d0) == len(d1)
+
+    def test_emit_dtype_bf16(self, wav_dirs, tmp_path):
+        import jax.numpy as jnp
+
+        from segan_pytorch_tpu.data import SEDataset, DataLoader
+
+        clean_d, noisy_d, _ = wav_dirs
+        ds = SEDataset(clean_d, noisy_d, 0.95, cache_dir=str(tmp_path / "bf"),
+                       slice_size=16384, stride=0.5)
+        dl = DataLoader(ds, batch_size=2, shuffle=False, emit_dtype="bfloat16")
+        b = next(iter(dl))
+        assert b["clean"].dtype == jnp.bfloat16
+        assert b["noisy"].dtype == jnp.bfloat16
+        assert b["mask"].dtype == np.float32  # mask stays fp32
 
 
 class TestAdditive:

@@ -14,6 +14,8 @@ import jax.numpy as jnp
 
 from segan_pytorch_tpu.models.generator1d import Generator1D
 
+pytestmark = pytest.mark.quick
+
 KEY = jax.random.PRNGKey(0)
 
 

@@ -7,6 +7,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.fixture(scope="module")
 def ref_utils():

@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from segan_pytorch_tpu.models.modules import (
+
     PReLU,
     BatchNorm1d,
     Conv1d,
@@ -21,6 +22,8 @@ from segan_pytorch_tpu.models.modules import (
     LayerNorm,
     pos_code,
 )
+
+pytestmark = pytest.mark.quick
 
 torch = pytest.importorskip("torch")
 KEY = jax.random.PRNGKey(0)

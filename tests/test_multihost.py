@@ -12,6 +12,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r"""
@@ -26,6 +28,10 @@ pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 
 from segan_pytorch_tpu.parallel import initialize_distributed
 initialize_distributed(f"127.0.0.1:{port}", nproc, pid)
+# share the suite's persistent XLA cache (SEGAN_TPU_COMPILE_CACHE from
+# conftest): warm reruns skip each process's compiles entirely
+from segan_pytorch_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
 assert jax.process_count() == nproc, jax.process_count()
 assert len(jax.devices()) == NDEV * nproc, jax.devices()
 

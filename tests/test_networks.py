@@ -10,6 +10,8 @@ from segan_pytorch_tpu.utils.config import SEGANConfig
 from segan_pytorch_tpu.models.generator import Generator, build_generator
 from segan_pytorch_tpu.models.discriminator import Discriminator, build_discriminator
 
+pytestmark = pytest.mark.quick
+
 torch = pytest.importorskip("torch")
 KEY = jax.random.PRNGKey(0)
 

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 from segan_pytorch_tpu.ops.conv import conv1d, reflect_pad_1d
 from segan_pytorch_tpu.ops.pallas import conv1d as plconv
 
+pytestmark = pytest.mark.quick
+
 KEY = jax.random.PRNGKey(0)
 
 

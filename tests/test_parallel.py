@@ -8,11 +8,14 @@ import jax
 from segan_pytorch_tpu.utils.config import SEGANConfig
 from segan_pytorch_tpu.models import SEGAN
 from segan_pytorch_tpu.parallel import (
+
     make_mesh,
     enhance_sharded,
     chunk_grid,
     overlap_add,
 )
+
+pytestmark = pytest.mark.quick
 
 
 def small_segan(tmpdir, dp=1):

@@ -19,8 +19,11 @@ import pytest
 
 from segan_pytorch_tpu.metrics.pesq_native import pesq_native, get_lib
 
-pytestmark = pytest.mark.skipif(get_lib() is None,
-                                reason="native pesq862 lib unavailable (no g++?)")
+pytestmark = [
+    pytest.mark.skipif(get_lib() is None,
+                       reason="native pesq862 lib unavailable (no g++?)"),
+    pytest.mark.quick,
+]
 
 FS = 16000
 

@@ -17,6 +17,8 @@ import pytest
 
 from segan_pytorch_tpu.metrics.stoi import stoi
 
+pytestmark = pytest.mark.quick
+
 
 def _ml_hanning(n):
     # MATLAB hanning(N): symmetric Hann without the zero endpoints

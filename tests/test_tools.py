@@ -9,6 +9,8 @@ import time
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -102,6 +102,14 @@ def build_parser():
     parser.add_argument('--eval_max_samples', type=int, default=1,
                         help='Validation batches scored per epoch '
                              '(1 = reference parity, 0 = full valset sweep).')
+    parser.add_argument('--shuffle_buffer', type=int, default=0,
+                        help='>0: streaming bounded-buffer shuffle of that many '
+                             'slices per shard instead of a global shuffle '
+                             '(corpora too large for a global index; drops the '
+                             'ragged tail).')
+    parser.add_argument('--loader_dtype', type=str, default=None,
+                        help="Cast clean/noisy at collate time (e.g. 'bfloat16' "
+                             'to halve host->device bytes under bf16 compute).')
     parser.add_argument('--noises_dir', type=str, default=None,
                         help='Dir of noise wavs: activates on-the-fly additive-noise '
                              'augmentation (P.56 ASL scaling, ref utils.py:51-134); '
@@ -190,7 +198,9 @@ def main(cfg):
     dloader = DataLoader(dset, batch_size=cfg.batch_size, shuffle=True,
                          num_workers=cfg.num_workers, seed=cfg.seed,
                          shard_id=jax.process_index(),
-                         num_shards=jax.process_count())
+                         num_shards=jax.process_count(),
+                         shuffle_buffer=getattr(cfg, 'shuffle_buffer', 0),
+                         emit_dtype=getattr(cfg, 'loader_dtype', None))
     if cfg.clean_valset is not None:
         if cfg.h5:
             va_dset = SEH5Dataset(cfg.h5_data_root, split='valid',
