@@ -1,0 +1,305 @@
+"""Serving-side inference machinery: request micro-batching and streaming.
+
+The reference stops at batch CLIs; this module completes the deployment story
+(SURVEY L6) with two TPU-minded pieces:
+
+- MicroBatcher: coalesces CONCURRENT enhancement requests into one device
+  forward. One utterance's chunk grid already batches onto the MXU, but N
+  concurrent clients would otherwise serialize N separate device passes behind
+  the model lock; the batcher concatenates their chunk grids (row-independent
+  math: inference BN uses running stats, z is per-request) and answers all of
+  them with a single pass.
+
+- StreamingEnhancer: incremental windowed enhancement with hann cross-fade
+  (the overlap-add math of parallel/inference.py made stateful): audio is fed
+  in arbitrary-sized pieces, pre-emphasis/de-emphasis run as causal streaming
+  filters, and enhanced samples are emitted with bounded latency (a sample is
+  final once the next window can no longer touch it — worst case
+  window + hop samples of audio plus one forward).
+"""
+from __future__ import annotations
+
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.signal import pre_emphasize_np
+from ..parallel.inference import chunk_grid, overlap_add, _bucket_pow2
+
+
+class _Job:
+    __slots__ = ("pwav", "rng", "overlap", "event", "result", "error")
+
+    def __init__(self, pwav, rng, overlap):
+        self.pwav = pwav
+        self.rng = rng
+        self.overlap = overlap
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class MicroBatcher:
+    """Coalesce concurrent generate() calls into one device batch.
+
+    enhance() is a drop-in for segan.generate()[0]: it takes the normalized,
+    pre-emphasized waveform and returns the de-emphasized enhanced waveform.
+    Requests that arrive while a forward is in flight are batched into the
+    next one (no artificial wait: the device itself provides the window).
+    """
+
+    def __init__(self, segan, max_batch_chunks: int = 128):
+        self.segan = segan
+        self.max_batch_chunks = max_batch_chunks
+        self._queue: List[_Job] = []
+        self._cv = threading.Condition()
+        self._stop = False
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="microbatcher")
+        self._worker.start()
+        self.batches = 0          # observability: device passes issued
+        self.requests = 0         # requests answered
+
+    def close(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._worker.join(timeout=5)
+
+    def enhance(self, pwav: np.ndarray, rng=None, overlap: float = 0.0,
+                timeout: Optional[float] = 120.0) -> np.ndarray:
+        job = _Job(np.asarray(pwav, np.float32).reshape(-1), rng, float(overlap))
+        with self._cv:
+            self._queue.append(job)
+            self._cv.notify()
+        if not job.event.wait(timeout):
+            raise TimeoutError("enhancement request timed out")
+        if job.error is not None:
+            raise job.error
+        return job.result
+
+    # ------------------------------------------------------------------
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._queue and not self._stop:
+                    self._cv.wait()
+                if self._stop:
+                    for j in self._queue:
+                        j.error = RuntimeError("batcher closed")
+                        j.event.set()
+                    return
+                jobs = self._drain_locked()
+            try:
+                self._process(jobs)
+            except Exception as e:  # pragma: no cover - defensive
+                for j in jobs:
+                    if not j.event.is_set():
+                        j.error = e
+                        j.event.set()
+
+    def _drain_locked(self) -> List[_Job]:
+        """Take queued jobs up to the chunk budget (called with the lock)."""
+        S = self.segan.cfg.slice_size
+        jobs, total = [], 0
+        while self._queue:
+            j = self._queue[0]
+            n = max(1, -(-len(j.pwav) // S))
+            if jobs and total + n > self.max_batch_chunks:
+                break
+            jobs.append(self._queue.pop(0))
+            total += n
+        return jobs
+
+    def _process(self, jobs: List[_Job]):
+        segan = self.segan
+        S = segan.cfg.slice_size
+        grids, metas, zrows = [], [], []
+        for j in jobs:
+            T = len(j.pwav)
+            grid, hop, n_chunks = chunk_grid(j.pwav, S, j.overlap)
+            metas.append((T, hop, n_chunks))
+            grids.append(grid)
+            if not segan.G.no_z:
+                rng = j.rng
+                if rng is None:
+                    if segan._gen_rng is None:
+                        segan._gen_rng = jax.random.PRNGKey(segan.cfg.seed)
+                    segan._gen_rng, rng = jax.random.split(segan._gen_rng)
+                # one z row per request, tiled over that request's chunks
+                # (generate() semantics: chunks of one utterance share z)
+                zrow = np.asarray(segan.G.sample_z(rng, (1, S, 1)))
+                zrows.append(np.tile(zrow, (n_chunks, 1, 1)))
+        x = np.concatenate(grids, axis=0)
+        n_rows = x.shape[0]
+        # pad the COMBINED row count to a pow2 bucket: bounds compiled shapes
+        n_padded = _bucket_pow2(n_rows)
+        if n_padded > n_rows:
+            x = np.concatenate(
+                [x, np.zeros((n_padded - n_rows, S, 1), np.float32)], axis=0)
+        zb = None
+        if not segan.G.no_z:
+            z = np.concatenate(zrows, axis=0)
+            if n_padded > n_rows:
+                z = np.concatenate(
+                    [z, np.zeros((n_padded - n_rows,) + z.shape[1:],
+                                 z.dtype)], axis=0)
+            zb = jnp.asarray(z)
+        out, _ = segan._gfwd_jit()(segan.state.g_params, segan.state.g_vars,
+                                   jnp.asarray(x), zb)
+        out = np.asarray(out)
+        self.batches += 1
+        row = 0
+        from ..ops.signal import de_emphasize_np
+
+        for j, (T, hop, n_chunks) in zip(jobs, metas):
+            chunks = out[row: row + n_chunks]
+            row += n_chunks
+            if j.overlap > 0:
+                merged = overlap_add(chunks, hop, T)
+            else:
+                merged = chunks.reshape(-1)[:T]
+            j.result = de_emphasize_np(merged, segan.preemph)
+            self.requests += 1
+            j.event.set()
+
+
+class StreamingEnhancer:
+    """Stateful incremental enhancement with hann cross-faded windows.
+
+    feed(samples) accepts RAW normalized audio ([-1, 1] float) in pieces of any
+    size and returns the newly-finalized enhanced samples; flush() drains the
+    tail. Pre-emphasis and de-emphasis run as causal streaming filters across
+    feed() boundaries, so the concatenated output equals the offline
+    chunk_grid + overlap_add path on the same window/hop (same windows, same
+    cross-fade weights, same per-session z).
+
+    window must divide by the generator's total pooling (default: the training
+    slice_size); smaller windows lower latency at slightly more compute —
+    worst-case output latency is window + hop input samples plus one forward.
+    """
+
+    def __init__(self, segan, window: Optional[int] = None,
+                 overlap: float = 0.25, rng=None):
+        if not 0.0 <= overlap < 0.5:
+            raise ValueError(f"overlap must be in [0, 0.5), got {overlap}")
+        self.segan = segan
+        S = int(window or segan.cfg.slice_size)
+        pool = 1
+        for p in segan.G.poolings:
+            pool *= p
+        if S % pool:
+            raise ValueError(f"window {S} must divide by the generator's total "
+                             f"pooling {pool}")
+        self.S = S
+        self.hop = int(S * (1.0 - overlap)) or S
+        # one z per streaming session, shared by every window (generate()
+        # shares z across one utterance's chunks; a stream is one utterance)
+        self._z = None
+        if not segan.G.no_z:
+            if rng is None:
+                rng = jax.random.PRNGKey(segan.cfg.seed)
+            self._z = jnp.asarray(np.asarray(
+                segan.G.sample_z(rng, (1, S, 1))))
+        self._pe_buf = np.zeros((0,), np.float32)  # pre-emphasized input
+        self._pe_prev = 0.0    # last raw sample (pre-emphasis state)
+        self._de_prev = 0.0    # last output sample (de-emphasis state)
+        self._n_in = 0         # raw samples fed
+        self._next_win = 0     # index of the next window to enhance
+        self._canvas = np.zeros((0,), np.float64)
+        self._wsum = np.zeros((0,), np.float64)
+        self._emitted = 0      # finalized samples handed back
+        if self.hop >= S:
+            self._win = np.ones((S,))
+        else:
+            ramp = np.hanning(2 * (S - self.hop) + 2)[1:-1]
+            w = np.ones((S,))
+            w[: S - self.hop] = ramp[: S - self.hop]
+            w[self.hop:] = ramp[S - self.hop:]
+            self._win = w
+
+    @property
+    def latency_samples(self) -> int:
+        """Worst-case input-to-output latency in samples (plus one forward)."""
+        return self.S + self.hop
+
+    def feed(self, samples: np.ndarray) -> np.ndarray:
+        x = np.asarray(samples, np.float32).reshape(-1)
+        if x.size:
+            # streaming pre-emphasis: y[t] = x[t] - c*x[t-1] across feed() calls
+            c = self.segan.preemph
+            shifted = np.concatenate(([self._pe_prev], x[:-1]))
+            self._pe_buf = np.concatenate((self._pe_buf,
+                                           x - np.float32(c) * shifted))
+            self._pe_prev = float(x[-1])
+            self._n_in += x.size
+        return self._advance(final=False)
+
+    def flush(self) -> np.ndarray:
+        """Process the zero-padded tail and return everything not yet emitted."""
+        return self._advance(final=True)
+
+    # ------------------------------------------------------------------
+    def _enhance_window(self, wseg: np.ndarray) -> np.ndarray:
+        segan = self.segan
+        x = jnp.asarray(wseg.reshape(1, self.S, 1))
+        out, _ = segan._gfwd_jit()(segan.state.g_params, segan.state.g_vars,
+                                   x, self._z)
+        return np.asarray(out)[0, :, 0]
+
+    def _grow(self, upto: int):
+        if self._canvas.shape[0] < upto:
+            pad = upto - self._canvas.shape[0]
+            self._canvas = np.concatenate((self._canvas, np.zeros(pad)))
+            self._wsum = np.concatenate((self._wsum, np.zeros(pad)))
+
+    def _advance(self, final: bool) -> np.ndarray:
+        S, hop = self.S, self.hop
+        while True:
+            beg = self._next_win * hop
+            have = self._pe_buf.shape[0]
+            # window-count rule identical to parallel/inference.chunk_grid:
+            # a new window runs only while the processed ones don't yet cover
+            # the input (smallest n with (n-1)*hop + S >= T)
+            covered = -1 if self._next_win == 0 else (
+                (self._next_win - 1) * hop + S)
+            if covered >= max(self._n_in, 1):
+                break
+            if not final and have < beg + S:
+                break
+            wseg = np.zeros((S,), np.float32)
+            seg = self._pe_buf[beg: beg + S]
+            wseg[: seg.shape[0]] = seg
+            enh = self._enhance_window(wseg)
+            self._grow(beg + S)
+            self._canvas[beg: beg + S] += enh * self._win
+            self._wsum[beg: beg + S] += self._win
+            self._next_win += 1
+        # samples < next window's start can no longer change
+        final_upto = self._n_in if final else min(self._next_win * hop,
+                                                  self._n_in)
+        if final_upto <= self._emitted:
+            return np.zeros((0,), np.float32)
+        self._grow(final_upto)
+        seg = (self._canvas[self._emitted: final_upto]
+               / np.maximum(self._wsum[self._emitted: final_upto], 1e-8))
+        # streaming de-emphasis: y[t] = x[t] + c*y[t-1] carried across
+        # emissions via lfilter's filter state (zi = c * y_prev)
+        c = self.segan.preemph
+        if c > 0:
+            from scipy.signal import lfilter
+
+            out, zf = lfilter([1.0], [1.0, -c], seg,
+                              zi=np.asarray([c * self._de_prev]))
+            self._de_prev = float(out[-1]) if out.size else self._de_prev
+        else:
+            out = seg
+        self._emitted = final_upto
+        return out.astype(np.float32)
+
+
+__all__ = ["MicroBatcher", "StreamingEnhancer"]

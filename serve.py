@@ -5,16 +5,29 @@ process that compiles once and answers many requests. This server loads the gene
 exactly like clean.py (train.opts + checkpoint, torch .ckpt auto-detect), warms the
 common chunk buckets, then serves:
 
-  GET  /healthz            -> JSON {status, model, slice_size, warm_s, requests}
+  GET  /healthz            -> JSON {status, model, slice_size, warm_s, requests,
+                              batches} (batches < requests when concurrent
+                              requests were coalesced)
   POST /enhance            -> body: a WAV file (any int/float subtype, 16 kHz);
                               response: the enhanced WAV.
                               Query params: format=float|pcm16 (default float),
-                              seed=<int> for a deterministic per-request z.
+                              seed=<int> for a deterministic per-request z,
+                              overlap=<0..0.5) chunk cross-fade.
+  POST /enhance_stream     -> body: raw 16 kHz PCM16 (little-endian), chunked
+                              transfer encoding or Content-Length; response:
+                              chunked raw PCM16, enhanced samples emitted with
+                              bounded latency as audio arrives (window + hop
+                              samples worst case). Query params: seed,
+                              overlap (default 0.25), window (samples, must
+                              divide by the generator pooling; smaller window
+                              = lower latency).
 
-Concurrency: requests are served by a thread pool (ThreadingHTTPServer) but device
-inference is serialized by a lock — one model instance, deterministic per-request z
-stream. Enhancement is chunk-parallel on device (segan.generate batches the whole
-chunk grid), so a single request already saturates the chip; RTF ≈ 0.055 (BENCH.md).
+Concurrency: requests are served by a thread pool (ThreadingHTTPServer); a
+MicroBatcher (utils/serving.py) coalesces concurrent /enhance requests into ONE
+device pass (their chunk grids concatenate — row-independent math), so N
+clients cost ~1 batched forward instead of N serialized ones. Enhancement is
+chunk-parallel on device; a single long request already saturates the chip;
+RTF ≈ 0.055 (BENCH.md).
 
 Usage:
     python serve.py --g_pretrained_ckpt ckpt/weights_EOE_G-Generator-N.ckpt \
@@ -62,8 +75,10 @@ def make_handler(cfg, segan, state):
     from scipy.io import wavfile as _wavfile
 
     from segan_pytorch_tpu.ops.signal import normalize_wave_minmax, pre_emphasize_np
+    from segan_pytorch_tpu.utils.serving import MicroBatcher, StreamingEnhancer
 
-    lock = threading.Lock()
+    batcher = MicroBatcher(segan)
+    state["batcher"] = batcher
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -89,16 +104,32 @@ def make_handler(cfg, segan, state):
                 "slice_size": cfg.slice_size,
                 "warm_s": state["warm_s"],
                 "requests": state["requests"],
+                "batches": batcher.batches,
             })
 
+        def _params(self):
+            _, _, query = self.path.partition("?")
+            params = {}
+            for kv in query.split("&"):
+                if "=" in kv:
+                    k, _, v = kv.partition("=")
+                    params[unquote(k)] = unquote(v)
+            return params
+
         def do_POST(self):
-            # chunked bodies are not supported (we need Content-Length to drain
-            # the body safely under keep-alive); say so explicitly instead of
-            # reading an empty body and returning a confusing 'bad wav' 400
-            if "chunked" in (self.headers.get("Transfer-Encoding") or "").lower():
+            path, _, _ = self.path.partition("?")
+            chunked = "chunked" in (self.headers.get("Transfer-Encoding")
+                                    or "").lower()
+            if path == "/enhance_stream":
+                return self._enhance_stream(self._params(), chunked)
+            # /enhance: chunked bodies are not supported (we need
+            # Content-Length to drain the body safely under keep-alive); say so
+            # instead of reading an empty body and returning a confusing 400
+            if chunked:
                 self.close_connection = True
-                return self._json(501, {"error": "chunked transfer encoding not "
-                                                 "supported; send Content-Length"})
+                return self._json(501, {"error": "chunked transfer encoding "
+                                                 "only supported on "
+                                                 "/enhance_stream"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
             except ValueError:
@@ -110,14 +141,9 @@ def make_handler(cfg, segan, state):
             # drain the body FIRST: under keep-alive (HTTP/1.1) an unread body
             # would be parsed as the next request line on the same connection
             raw = self.rfile.read(n)
-            path, _, query = self.path.partition("?")
             if path != "/enhance":
                 return self._json(404, {"error": "unknown path"})
-            params = {}
-            for kv in query.split("&"):
-                if "=" in kv:
-                    k, _, v = kv.partition("=")
-                    params[unquote(k)] = unquote(v)
+            params = self._params()
             # client-input validation -> 400 (before the model's 500 umbrella)
             try:
                 overlap = float(params.get("overlap", 0.0))
@@ -138,12 +164,12 @@ def make_handler(cfg, segan, state):
             except ValueError as e:  # unsupported sample dtype etc.
                 return self._json(400, {"error": str(e)})
             try:
-                with lock:
-                    rng = None if seed is None else jax.random.PRNGKey(seed)
-                    t0 = time.perf_counter()
-                    enh, _ = segan.generate(pwav, rng=rng, overlap=overlap)
-                    dt = time.perf_counter() - t0
-                    state["requests"] += 1
+                rng = None if seed is None else jax.random.PRNGKey(seed)
+                t0 = time.perf_counter()
+                # concurrent requests coalesce into one device pass
+                enh = batcher.enhance(pwav, rng=rng, overlap=overlap)
+                dt = time.perf_counter() - t0
+                state["requests"] += 1
             except Exception as e:  # surface model errors as 500s, keep serving
                 return self._json(500, {"error": str(e)})
             buf = io.BytesIO()
@@ -159,6 +185,100 @@ def make_handler(cfg, segan, state):
             self.send_header("X-Enhance-Seconds", f"{dt:.4f}")
             self.end_headers()
             self.wfile.write(body)
+
+        # ---- streaming: raw PCM16 in (chunked or sized), chunked PCM16 out ----
+        def _incoming_pieces(self, chunked):
+            if chunked:
+                total = 0
+                while True:
+                    line = self.rfile.readline(1026)
+                    try:
+                        size = int(line.split(b";")[0].strip() or b"0", 16)
+                    except ValueError:
+                        raise ValueError("bad chunk framing")
+                    if size == 0:
+                        self.rfile.readline()  # trailing CRLF after last chunk
+                        return
+                    total += size
+                    if total > MAX_BODY_BYTES:
+                        raise ValueError("stream too large")
+                    data = self.rfile.read(size)
+                    self.rfile.read(2)  # CRLF
+                    yield data
+            else:
+                n = int(self.headers.get("Content-Length", 0))
+                if n > MAX_BODY_BYTES:
+                    raise ValueError("stream too large")
+                # read in window-sized pieces so enhancement genuinely overlaps
+                # the arrival of later audio
+                left = n
+                while left > 0:
+                    piece = self.rfile.read(min(left, 65536))
+                    if not piece:
+                        return
+                    left -= len(piece)
+                    yield piece
+
+        def _write_chunk(self, data: bytes):
+            if data:
+                self.wfile.write(f"{len(data):x}\r\n".encode())
+                self.wfile.write(data)
+                self.wfile.write(b"\r\n")
+
+        def _enhance_stream(self, params, chunked):
+            try:
+                overlap = float(params.get("overlap", 0.25))
+                window = int(params.get("window", cfg.slice_size))
+                seed = int(params["seed"]) if "seed" in params else None
+            except ValueError as e:
+                self.close_connection = True
+                return self._json(400, {"error": f"bad query param: {e}"})
+            try:
+                rng = None if seed is None else jax.random.PRNGKey(seed)
+                streamer = StreamingEnhancer(segan, window=window,
+                                             overlap=overlap, rng=rng)
+            except ValueError as e:  # bad window/overlap
+                self.close_connection = True
+                return self._json(400, {"error": str(e)})
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.send_header("X-Stream-Latency-Samples",
+                             str(streamer.latency_samples))
+            self.end_headers()
+            carry = b""
+            t0 = time.perf_counter()
+            n_out = 0
+            try:
+                for piece in self._incoming_pieces(chunked):
+                    carry += piece
+                    usable = len(carry) - (len(carry) % 2)
+                    if not usable:
+                        continue
+                    pcm = np.frombuffer(carry[:usable], dtype="<i2")
+                    carry = carry[usable:]
+                    out = streamer.feed(
+                        np.asarray(normalize_wave_minmax(pcm), np.float32))
+                    pcm_out = np.clip(out * 32767.0, -32768,
+                                      32767).astype("<i2")
+                    n_out += pcm_out.size
+                    self._write_chunk(pcm_out.tobytes())
+                out = streamer.flush()
+                pcm_out = np.clip(out * 32767.0, -32768, 32767).astype("<i2")
+                n_out += pcm_out.size
+                self._write_chunk(pcm_out.tobytes())
+                self.wfile.write(b"0\r\n\r\n")
+                state["requests"] += 1
+                if state["verbose"]:
+                    dt = time.perf_counter() - t0
+                    print(f"[serve] stream: {n_out} samples in {dt:.3f}s "
+                          f"(window {window}, overlap {overlap})", flush=True)
+            except (ValueError, ConnectionError, BrokenPipeError) as e:
+                # mid-stream failure: the only safe recovery is dropping the
+                # connection (headers are already out)
+                if state["verbose"]:
+                    print(f"[serve] stream aborted: {e}", flush=True)
+                self.close_connection = True
 
     return Handler
 

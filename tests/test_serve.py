@@ -12,6 +12,8 @@ import urllib.request
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -40,20 +42,26 @@ def server(tmp_path_factory):
 
     port = 29777
     env = dict(os.environ, SEGAN_TPU_PLATFORM="cpu", PYTHONPATH=REPO)
+    # server output goes to a FILE, not a PIPE: an undrained PIPE fills after
+    # ~64K of logs and then BLOCKS the server mid-request (observed as an
+    # order-dependent hang of whichever test ran after enough output)
+    log_path = root / "server.log"
+    log_f = open(log_path, "w")
     proc = subprocess.Popen(
         [sys.executable, "serve.py",
          "--g_pretrained_ckpt", str(root / "weights_EOE_G-Generator-1.ckpt"),
          "--cfg_file", str(root / "train.opts"),
          "--port", str(port), "--warm_seconds", "0.2"],
-        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        cwd=REPO, env=env, stdout=log_f, stderr=subprocess.STDOUT,
         text=True)
     base = f"http://127.0.0.1:{port}"
     deadline = time.time() + 180
     last_err = None
     while time.time() < deadline:
         if proc.poll() is not None:
-            out, _ = proc.communicate()
-            raise RuntimeError(f"server died:\n{out[-3000:]}")
+            log_f.flush()
+            raise RuntimeError(
+                f"server died:\n{log_path.read_text()[-3000:]}")
         try:
             with urllib.request.urlopen(base + "/healthz", timeout=2) as r:
                 if r.status == 200:
@@ -67,6 +75,7 @@ def server(tmp_path_factory):
     yield base
     proc.kill()
     proc.wait(timeout=10)
+    log_f.close()
 
 
 def _wav_bytes(n=3000, seed=0, dtype=np.int16):
@@ -128,6 +137,87 @@ class TestServe:
         # still healthy afterwards
         with urllib.request.urlopen(server + "/healthz", timeout=10) as r:
             assert r.status == 200
+
+
+class TestServeStreaming:
+    def _stream(self, server, pcm_bytes, query, chunk_sizes):
+        """Chunked-transfer POST of raw PCM16; returns the streamed PCM16."""
+        import http.client
+
+        host = server.split("//")[1]
+        conn = http.client.HTTPConnection(host, timeout=120)
+        try:
+            conn.putrequest("POST", "/enhance_stream?" + query)
+            conn.putheader("Transfer-Encoding", "chunked")
+            conn.endheaders()
+            pos = 0
+            for sz in chunk_sizes:
+                piece = pcm_bytes[pos: pos + sz]
+                pos += len(piece)
+                if piece:
+                    conn.send(f"{len(piece):x}\r\n".encode() + piece + b"\r\n")
+            if pos < len(pcm_bytes):
+                rest = pcm_bytes[pos:]
+                conn.send(f"{len(rest):x}\r\n".encode() + rest + b"\r\n")
+            conn.send(b"0\r\n\r\n")
+            resp = conn.getresponse()
+            assert resp.status == 200, resp.read()[:500]
+            assert int(resp.headers["X-Stream-Latency-Samples"]) > 0
+            data = resp.read()  # http.client decodes the chunked framing
+            return np.frombuffer(data, dtype="<i2")
+        finally:
+            conn.close()
+
+    def test_stream_roundtrip_matches_length(self, server):
+        n = 2500
+        rng = np.random.RandomState(5)
+        t = np.arange(n) / 16000.0
+        x = 0.3 * np.sin(2 * np.pi * 220 * t) + 0.02 * rng.randn(n)
+        pcm = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+        out = self._stream(server, pcm, "seed=3&overlap=0.25&window=1024",
+                           chunk_sizes=(400, 1601, 999, 10**9))
+        assert out.shape == (n,)
+        assert np.isfinite(out.astype(np.float64)).all()
+        # deterministic per seed regardless of arrival chunking
+        out2 = self._stream(server, pcm, "seed=3&overlap=0.25&window=1024",
+                            chunk_sizes=(5000,))
+        np.testing.assert_array_equal(out, out2)
+
+    def test_stream_bad_window_is_400(self, server):
+        import urllib.error
+
+        req = urllib.request.Request(server + "/enhance_stream?window=1000",
+                                     data=b"\x00\x00" * 100)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+
+    def test_concurrent_requests_coalesce(self, server):
+        """N parallel /enhance posts: all answered correctly; healthz shows the
+        batcher issued <= N device passes for them."""
+        import threading
+
+        with urllib.request.urlopen(server + "/healthz", timeout=10) as r:
+            before = json.loads(r.read())
+        body = _wav_bytes(n=2048, seed=9)
+        outs = [None] * 4
+
+        def hit(i):
+            req = urllib.request.Request(server + "/enhance?seed=11", data=body)
+            with urllib.request.urlopen(req, timeout=120) as r:
+                outs[i] = r.read()
+
+        ts = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        assert all(o is not None for o in outs)
+        assert all(o == outs[0] for o in outs)  # same seed -> identical wavs
+        with urllib.request.urlopen(server + "/healthz", timeout=10) as r:
+            after = json.loads(r.read())
+        assert after["requests"] - before["requests"] == 4
+        assert after["batches"] - before["batches"] <= 4
 
 
 class TestServeOverlap:

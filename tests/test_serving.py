@@ -1,0 +1,152 @@
+"""Serving-library tests (utils/serving.py): request micro-batching equality
+and streaming-vs-offline enhancement equality."""
+import threading
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from segan_pytorch_tpu.utils.config import SEGANConfig
+from segan_pytorch_tpu.models import SEGAN
+from segan_pytorch_tpu.ops.signal import pre_emphasize_np, de_emphasize_np
+from segan_pytorch_tpu.parallel.inference import chunk_grid, overlap_add
+from segan_pytorch_tpu.utils.serving import MicroBatcher, StreamingEnhancer
+import pytest
+
+pytestmark = pytest.mark.quick
+
+
+def tiny_engine():
+    cfg = SEGANConfig(slice_size=1024, genc_fmaps=[8, 16, 32],
+                      genc_poolings=[4, 4, 4], z_dim=32,
+                      denc_fmaps=[8, 16, 32], denc_poolings=[4, 4, 4],
+                      dpool_slen=16, batch_size=1,
+                      save_path="/tmp/serving_test")
+    segan = SEGAN(cfg)
+    segan.init_state(batch_size=1)
+    return segan
+
+
+def raw_wav(n=2500, seed=0):
+    rng = np.random.RandomState(seed)
+    t = np.arange(n) / 16000.0
+    return (0.3 * np.sin(2 * np.pi * 220 * t)
+            + 0.02 * rng.randn(n)).astype(np.float32)
+
+
+class TestMicroBatcher:
+    def test_batched_equals_direct_generate(self):
+        """A forced multi-request batch must reproduce each request's direct
+        segan.generate output exactly (row-independent inference math)."""
+        segan = tiny_engine()
+        wavs = [pre_emphasize_np(raw_wav(n, seed=i), 0.95)
+                for i, n in enumerate((2500, 1024, 3333))]
+        direct = [segan.generate(w, rng=jax.random.PRNGKey(10 + i))[0]
+                  for i, w in enumerate(wavs)]
+
+        batcher = MicroBatcher(segan)
+        try:
+            # force coalescing: enqueue all jobs while holding the cv so the
+            # worker drains them as ONE batch
+            from segan_pytorch_tpu.utils.serving import _Job
+
+            jobs = [_Job(w, jax.random.PRNGKey(10 + i), 0.0)
+                    for i, w in enumerate(wavs)]
+            with batcher._cv:
+                batcher._queue.extend(jobs)
+                batcher._cv.notify()
+            for j in jobs:
+                assert j.event.wait(120)
+                assert j.error is None, j.error
+            assert batcher.batches == 1  # all three answered by one pass
+            for j, d in zip(jobs, direct):
+                np.testing.assert_allclose(j.result, d, atol=2e-6)
+        finally:
+            batcher.close()
+
+    def test_concurrent_enhance_threads(self):
+        segan = tiny_engine()
+        batcher = MicroBatcher(segan)
+        try:
+            wav = pre_emphasize_np(raw_wav(2000, seed=4), 0.95)
+            results = [None] * 4
+
+            def hit(i):
+                results[i] = batcher.enhance(
+                    wav, rng=jax.random.PRNGKey(7), overlap=0.0)
+
+            ts = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join(timeout=120)
+            for r in results:
+                assert r is not None and r.shape == (2000,)
+                np.testing.assert_array_equal(r, results[0])  # same seed
+        finally:
+            batcher.close()
+
+
+class TestStreamingEnhancer:
+    def _offline(self, segan, wav, window, overlap, rng):
+        """The offline chunk_grid + overlap_add path with the session z."""
+        pe = pre_emphasize_np(wav, segan.preemph)
+        grid, hop, n = chunk_grid(pe, window, overlap)
+        z = jnp.asarray(np.tile(
+            np.asarray(segan.G.sample_z(rng, (1, window, 1))), (n, 1, 1)))
+        out, _ = segan._gfwd_jit()(segan.state.g_params, segan.state.g_vars,
+                                   jnp.asarray(grid), z)
+        merged = overlap_add(np.asarray(out), hop, len(wav))
+        return de_emphasize_np(merged, segan.preemph)
+
+    def test_streaming_equals_offline(self):
+        segan = tiny_engine()
+        wav = raw_wav(2500, seed=1)
+        rng = jax.random.PRNGKey(3)
+        expected = self._offline(segan, wav, 1024, 0.25, rng)
+
+        st = StreamingEnhancer(segan, window=1024, overlap=0.25, rng=rng)
+        pieces, pos = [], 0
+        # ragged feed sizes exercise the carried filter/window state
+        for sz in (1, 700, 123, 900, 10**9):
+            chunk = wav[pos: pos + sz]
+            pos += len(chunk)
+            pieces.append(st.feed(chunk))
+        pieces.append(st.flush())
+        got = np.concatenate(pieces)
+        assert got.shape == expected.shape
+        np.testing.assert_allclose(got, expected, atol=2e-6)
+
+    def test_streaming_no_overlap_short_input(self):
+        """Input shorter than one window: everything arrives at flush()."""
+        segan = tiny_engine()
+        wav = raw_wav(700, seed=2)
+        rng = jax.random.PRNGKey(9)
+        expected = self._offline(segan, wav, 1024, 0.0, rng)
+        st = StreamingEnhancer(segan, window=1024, overlap=0.0, rng=rng)
+        a = st.feed(wav)
+        assert a.size == 0  # window not complete yet
+        b = st.flush()
+        got = np.concatenate([a, b])
+        np.testing.assert_allclose(got, expected, atol=2e-6)
+
+    def test_bounded_latency_emission(self):
+        """Samples must be emitted as soon as the covering window completes —
+        not only at flush."""
+        segan = tiny_engine()
+        st = StreamingEnhancer(segan, window=1024, overlap=0.25,
+                               rng=jax.random.PRNGKey(0))
+        out1 = st.feed(raw_wav(1024, seed=3))  # first window complete
+        assert out1.size == st.hop  # finalized up to the next window start
+        out2 = st.feed(raw_wav(1024, seed=4))
+        assert out2.size > 0
+
+    def test_window_must_divide_pooling(self):
+        segan = tiny_engine()
+        import pytest
+
+        with pytest.raises(ValueError):
+            StreamingEnhancer(segan, window=1000)
+        with pytest.raises(ValueError):
+            StreamingEnhancer(segan, overlap=0.7)
