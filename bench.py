@@ -41,6 +41,10 @@ def main():
                              "'tiny' = small model for DP-mechanics/overhead runs on "
                              "the virtual CPU mesh, where the full model is too slow "
                              "to compile")
+    parser.add_argument("--steps_per_call", type=int, default=1,
+                        help="Full train steps per dispatched program "
+                             "(lax.scan): amortizes the per-dispatch fixed "
+                             "cost; math identical per step. SEGAN engine only.")
     parser.add_argument("--engine", type=str, default="segan",
                         choices=["segan", "wsegan"],
                         help="'wsegan' benches the WSEGAN step at its canonical "
@@ -93,11 +97,25 @@ def main():
     # warmup (compile).  NB: completion is forced with a D2H scalar fetch, NOT
     # jax.block_until_ready — the latter can return before execution finishes on the
     # remote 'axon' tunnel platform, silently inflating throughput.
-    if args.engine == "wsegan":
+    if args.engine == "wsegan" and args.steps_per_call <= 1:
         amask = jnp.zeros((B,), jnp.float32)  # no 'additive' utterances
 
         def one_step(k):
             return segan.train_step(clean, noisy, mask, amask, k, 100.0)
+        fetch_key = "d_real"
+    elif args.steps_per_call > 1:
+        S = args.steps_per_call
+        segan.prepare_multi_step(S)
+        stacked = [jnp.broadcast_to(a, (S,) + a.shape)
+                   for a in (clean, noisy, mask)]
+        if args.engine == "wsegan":
+            stacked.append(jnp.zeros((S, B), jnp.float32))  # additive mask
+        l1_s = jnp.full((S,), 100.0, jnp.float32)
+
+        def one_step(k):
+            _, metrics, Genh, z = segan.train_step_multi(
+                *stacked, rng=k, l1_w_s=l1_s)
+            return metrics, Genh, z
         fetch_key = "d_real"
     else:
         def one_step(k):
@@ -117,7 +135,7 @@ def main():
     float(metrics[fetch_key])  # forces the whole dependent step chain
     dt = time.perf_counter() - t0
 
-    steps_per_sec = args.steps / dt
+    steps_per_sec = args.steps / dt * max(args.steps_per_call, 1)
     slices_per_sec_per_chip = steps_per_sec * B / n_chips
     result = {
         "metric": "train_slices_per_sec_per_chip",
@@ -131,7 +149,14 @@ def main():
         result["aggregate_slices_per_sec"] = round(steps_per_sec * B, 2)
     from segan_pytorch_tpu.utils.profiling import mfu
 
-    step_mfu = mfu(segan.step_flops(), dt / args.steps, n_chips)
+    flops = segan.step_flops()
+    if flops is not None and args.steps_per_call > 1:
+        # XLA cost analysis counts a lax.scan body ONCE regardless of trip
+        # count (observed: S=4 reported exactly 1/4 of the single-step MFU);
+        # scale to the S steps the timed call actually executes
+        flops *= args.steps_per_call
+        result["steps_per_call"] = args.steps_per_call
+    step_mfu = mfu(flops, dt / args.steps, n_chips)
     if step_mfu is not None:
         result["mfu"] = round(step_mfu, 4)
     print(json.dumps(result))

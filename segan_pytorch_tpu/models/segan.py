@@ -293,6 +293,8 @@ class SEGAN:
         self.state: Optional[GANTrainState] = None
         self.mesh = None
         self._jit_step = None
+        self._raw_step = None
+        self._jit_multi_step = None
         self._jit_gfwd = None
         self._gen_rng = None  # per-utterance z stream for generate()
         self._step_flops = None
@@ -520,9 +522,65 @@ class SEGAN:
         g_tx, d_tx = self.build_optimizers()
         step = make_segan_train_step(self.G, self.D, g_tx, d_tx, self.cfg.reg_loss,
                                      compute_dtype_of(self.cfg))
+        self._raw_step = step
         self._jit_step = jax.jit(step, donate_argnums=(0,))
         self._setup_parallel()
         return self._jit_step
+
+    def prepare_multi_step(self, steps_per_call: int):
+        """One dispatched program running `steps_per_call` full train steps via
+        lax.scan. Each step's math is IDENTICAL to the single-step program (the
+        scan body IS that step); what changes is dispatch granularity — the
+        per-dispatch fixed cost (launch + host round trip + batch-independent
+        bookkeeping, measured ~24 ms/step at batch 300, BENCH.md r3) is paid
+        once per S steps. Inputs gain a leading (S,) axis; l1_weight is per-step
+        (the decay schedule advances every batch)."""
+        assert self._raw_step is not None, "call prepare_train first"
+        step = self._raw_step
+        S = int(steps_per_call)
+
+        def multi(state, stacked, rng, l1_w_s):
+            # `stacked` = tuple of (S, ...)-leading arrays matching the raw
+            # step's batch arguments (clean, noisy, mask[, additive_mask])
+            ks = jax.random.split(rng, S)
+
+            def body(st, xs):
+                arrs, k, lw = xs
+                st, metrics, Genh, z = step(st, *arrs, k, lw)
+                return st, (metrics, Genh, z)
+
+            state, (metrics_s, Genh_s, z_s) = jax.lax.scan(
+                body, state, (stacked, ks, l1_w_s))
+            # last sub-step's tensors for logging/sample parity
+            last = jax.tree.map(lambda a: a[-1], metrics_s)
+            return state, metrics_s, last, Genh_s[-1], (
+                None if z_s is None else z_s[-1])
+
+        self._jit_multi_step = jax.jit(multi, donate_argnums=(0,))
+        return self._jit_multi_step
+
+    def train_step_multi(self, *stacked, rng, l1_w_s):
+        """Run S stacked steps in one dispatch (see prepare_multi_step).
+
+        `stacked` are the raw step's batch args with a leading (S,) axis —
+        (clean, noisy, mask) for SEGAN, plus additive_mask for WSEGAN."""
+        stacked = self._shard_batch_multi(*stacked)
+        l1_arr = jnp.asarray(l1_w_s, jnp.float32)
+        new_state, metrics_s, metrics, Genh, z = self._jit_multi_step(
+            self.state, stacked, rng, l1_arr)
+        self.state = new_state
+        # MFU accounting: flops of the WHOLE S-step program against per-call time
+        self._flops_fn = self._jit_multi_step
+        self._flops_args = (new_state, stacked, rng, l1_arr)
+        return metrics_s, metrics, Genh, z
+
+    def _shard_batch_multi(self, *arrays):
+        if self.mesh is None:
+            return arrays
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        s = NamedSharding(self.mesh, P(None, "data"))  # (S, B, ...) batch axis 1
+        return tuple(jax.device_put(a, s) for a in arrays)
 
     def _install_preempt_handler(self):
         """SIGTERM -> finish the in-flight step, checkpoint, exit cleanly (TPU
@@ -564,7 +622,8 @@ class SEGAN:
         if self._step_flops is None and getattr(self, "_flops_args", None) is not None:
             from ..utils.profiling import compiled_flops
 
-            self._step_flops = compiled_flops(self._jit_step, *self._flops_args)
+            fn = getattr(self, "_flops_fn", None) or self._jit_step
+            self._step_flops = compiled_flops(fn, *self._flops_args)
         return self._step_flops
 
     def train(self, cfg: SEGANConfig, dloader, criterion=None,

@@ -81,6 +81,12 @@ def make_wsegan_train_step(gen, disc, g_tx, d_tx, cfg: SEGANConfig):
     # counting). Loss weighting identical to the sequential path.
     fuse_env = os.environ.get("SEGAN_TPU_WS_FUSE_D")
     fuse_d = fuse_env is not None and fuse_env not in ("0", "false", "off")
+    # DFT precision for the power loss: under bf16 compute, Genh is already
+    # bf16-quantized before the fp32 cast, so the 1-pass DEFAULT contraction
+    # (fp32 accumulation) loses nothing real and is ~6x fewer MXU passes than
+    # HIGHEST (measured +3% step throughput, BENCH.md r3). fp32 compute keeps
+    # HIGHEST for strict fft parity. SEGAN_TPU_STFT_PRECISION overrides both.
+    stft_prec = "default" if cdt == jnp.bfloat16 else "highest"
 
     def step(state: GANTrainState, clean, noisy, mask, additive_mask, rng, l1_weight):
         kz, kd1, kd2, kd3, kd4, kd5, kshuf, kinterf, kdrop = jax.random.split(rng, 9)
@@ -161,7 +167,8 @@ def make_wsegan_train_step(gen, disc, g_tx, d_tx, cfg: SEGANConfig):
         d_updates, d_opt_new = d_tx.update(d_grads, state.d_opt, state.d_params)
         d_params_new = optax.apply_updates(state.d_params, d_updates)
 
-        clean_pow = power_spectrum_db(clean[..., 0].astype(jnp.float32), n_fft)
+        clean_pow = power_spectrum_db(clean[..., 0].astype(jnp.float32), n_fft,
+                                      precision=stft_prec)
 
         def g_obj(Genh_):
             (d_fake_, _), m3 = disc.apply(
@@ -170,7 +177,8 @@ def make_wsegan_train_step(gen, disc, g_tx, d_tx, cfg: SEGANConfig):
                 train=not cached_snorm, mask=mask, mutable=list(MUTS),
                 rngs={"phase": kd3})
             g_adv = cost(d_fake_, 1.0, mask)
-            genh_pow = power_spectrum_db(Genh_[..., 0].astype(jnp.float32), n_fft)
+            genh_pow = power_spectrum_db(Genh_[..., 0].astype(jnp.float32),
+                                         n_fft, precision=stft_prec)
             pow_loss = pow_weight * masked_mean(jnp.abs(genh_pow - clean_pow), mask)
             G_cost = g_adv + pow_loss
             amask = additive_mask[:, None, None]
@@ -232,6 +240,7 @@ class WSEGAN(SEGAN):
             self.init_state(batch_size=batch_size or 1)
         g_tx, d_tx = self.build_optimizers()
         step = make_wsegan_train_step(self.G, self.D, g_tx, d_tx, self.cfg)
+        self._raw_step = step  # enables the inherited prepare_multi_step
         self._jit_step = jax.jit(step, donate_argnums=(0,))
         self._setup_parallel()
         return self._jit_step

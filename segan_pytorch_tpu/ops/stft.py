@@ -33,17 +33,21 @@ def _frame(x: jax.Array, frame_length: int, hop: int) -> jax.Array:
 
 
 @lru_cache(maxsize=8)
-def _dft_matrix(win_length: int, n_fft: int):
+def _dft_matrix_np(win_length: int, n_fft: int) -> np.ndarray:
     """(win_length, 2*(n_fft//2+1)) real DFT basis [cos | sin] for magnitude.
 
     The window sits at an arbitrary offset inside the n_fft frame; |X_k| is
     invariant to that constant phase factor, so the basis uses j in
-    [0, win_length) directly."""
+    [0, win_length) directly.
+
+    Returns NUMPY, never a jax array: the cache is shared across jit traces, so
+    caching a device/traced array would leak a tracer out of the first trace
+    that populated it (UnexpectedTracerError in every later trace). Callers
+    jnp.asarray it at the use site (a constant fold under jit)."""
     k = np.arange(win_length)
     freqs = np.arange(n_fft // 2 + 1)
     ang = -2.0 * np.pi * np.outer(k, freqs) / n_fft
-    return jnp.asarray(
-        np.concatenate([np.cos(ang), np.sin(ang)], axis=1).astype(np.float32))
+    return np.concatenate([np.cos(ang), np.sin(ang)], axis=1).astype(np.float32)
 
 
 def _resolve_method(method: str | None) -> str:
@@ -61,6 +65,7 @@ def stft_mag(
     normalized: bool = True,
     center: bool = True,
     method: str | None = None,
+    precision: str | None = None,
 ) -> jax.Array:
     """Magnitude STFT of (B, T) -> (B, n_fft//2+1, n_frames), torch.stft layout.
 
@@ -76,17 +81,24 @@ def stft_mag(
         x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
     if _resolve_method(method) == "matmul":
         # frame only the nonzero window samples and contract with the real DFT
-        # basis on the MXU (fp32 at HIGHEST precision for fft parity)
+        # basis on the MXU. fp32 at HIGHEST precision for fft parity (6-pass
+        # MXU emulation); SEGAN_TPU_STFT_PRECISION=default opts into the 1-pass
+        # bf16-input/fp32-accum contraction (~1e-3 relative magnitude error —
+        # fine for the pow_weight=0.001 training loss, not for metric parity)
         left = (n_fft - win_length) // 2
         Tp = x.shape[1]
         n_frames = 1 + (Tp - n_fft) // hop_length
         idx = (jnp.arange(n_frames)[:, None] * hop_length + left
                + jnp.arange(win_length)[None, :])
         frames = x[:, idx].astype(jnp.float32)  # (B, F, win_length)
-        basis = _dft_matrix(win_length, n_fft)
+        basis = jnp.asarray(_dft_matrix_np(win_length, n_fft))
+        prec_name = (os.environ.get("SEGAN_TPU_STFT_PRECISION")
+                     or precision or "highest")
+        prec = (jax.lax.Precision.DEFAULT if prec_name == "default"
+                else jax.lax.Precision.HIGHEST)
         Y = jax.lax.dot_general(
             frames, basis, (((2,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
             preferred_element_type=jnp.float32)  # (B, F, 2*(nb))
         nb = n_fft // 2 + 1
         mag = jnp.sqrt(Y[..., :nb] ** 2 + Y[..., nb:] ** 2)
@@ -105,7 +117,8 @@ def stft_mag(
     return jnp.transpose(mag, (0, 2, 1))  # (B, bins, frames)
 
 
-def power_spectrum_db(x: jax.Array, n_fft: int = 2048) -> jax.Array:
+def power_spectrum_db(x: jax.Array, n_fft: int = 2048,
+                      precision: str | None = None) -> jax.Array:
     """10*log10(|STFT|^2 + 1e-19) as in ref model.py:645-646,651-652."""
-    mag = stft_mag(x, n_fft=n_fft)
+    mag = stft_mag(x, n_fft=n_fft, precision=precision)
     return 10.0 * jnp.log10(mag**2 + 10e-20)

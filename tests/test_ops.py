@@ -232,6 +232,20 @@ class TestSTFT:
         b = np.asarray(stft_mag(x, method="matmul"))
         np.testing.assert_allclose(b, a, atol=2e-5)
 
+    def test_dft_basis_cache_is_trace_safe(self):
+        """Regression: the cached DFT basis must be numpy, not a jax array — a
+        first use INSIDE a jit trace would otherwise cache a tracer and poison
+        every later trace (UnexpectedTracerError)."""
+        from segan_pytorch_tpu.ops.stft import _dft_matrix_np
+
+        _dft_matrix_np.cache_clear()
+        kw = dict(n_fft=512, hop_length=160, win_length=320, method="matmul")
+        x = jnp.asarray(_rand(1, 2048))
+        y1 = jax.jit(lambda a: jnp.sum(stft_mag(a, **kw)))(x)  # populates cache
+        y2 = jax.jit(lambda a: jnp.sum(stft_mag(a, **kw) * 2))(x)  # 2nd trace
+        assert np.isfinite(float(y1)) and np.isfinite(float(y2))
+        assert isinstance(_dft_matrix_np(320, 512), np.ndarray)
+
 
 class TestPhaseShiftRoll:
     def test_matches_jnp_roll(self):

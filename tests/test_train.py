@@ -281,6 +281,47 @@ class TestWSEGANResume:
         assert len(calls) == 2, len(calls)
 
 
+class TestMultiStepDispatch:
+    def test_two_scanned_steps_equal_two_single_steps(self):
+        """prepare_multi_step's scanned program must reproduce two sequential
+        single-step calls exactly (same per-step rng keys / l1 weights)."""
+        import jax.numpy as jnp
+
+        cfg = small_cfg()
+        clean, noisy, mask = synth_batch()
+        c2, n2, _ = synth_batch(seed=1)
+        rng = jax.random.PRNGKey(42)
+        ks = jax.random.split(rng, 2)
+
+        # reference: two single-step dispatches
+        a = SEGAN(cfg)
+        a.init_state(batch_size=4)
+        a.prepare_train(4)
+        a.train_step(clean, noisy, mask, ks[0], 100.0)
+        m_ref, _, _ = a.train_step(c2, n2, mask, ks[1], 99.5)
+
+        # one dispatched 2-step scan
+        b = SEGAN(cfg)
+        b.init_state(batch_size=4)
+        b.prepare_train(4)
+        b.prepare_multi_step(2)
+        clean_s = np.stack([clean, c2])
+        noisy_s = np.stack([noisy, n2])
+        mask_s = np.stack([mask, mask])
+        metrics_s, m_last, Genh, z = b.train_step_multi(
+            clean_s, noisy_s, mask_s, rng=rng, l1_w_s=[100.0, 99.5])
+        for k in m_ref:
+            np.testing.assert_allclose(float(m_last[k]), float(m_ref[k]),
+                                       rtol=2e-5, atol=1e-6, err_msg=k)
+        ga = flatten_tree(jax.device_get(a.state.g_params))
+        gb = flatten_tree(jax.device_get(b.state.g_params))
+        for k in ga:
+            np.testing.assert_allclose(ga[k], gb[k], rtol=1e-5, atol=1e-6,
+                                       err_msg=k)
+        assert int(b.state.step) == 2
+        assert Genh.shape == clean.shape
+
+
 class TestWSEGANDPassVariants:
     """WSEGAN perf knobs (models/wsegan.py): SEGAN_TPU_WS_FUSE_D (all D pairs in one
     grouped apply) and SEGAN_TPU_SNORM=cached (one power iteration per step) must
