@@ -56,6 +56,37 @@ class TestFusedConvForward:
         np.testing.assert_allclose(np.asarray(pre), np.asarray(pre_ref), atol=5e-6)
 
 
+class TestFusedEncoder23:
+    def test_matches_xla_chain(self):
+        """Chained enc2+enc3 kernel == reflect-pad -> conv -> PReLU twice via
+        the XLA ops (interpret mode; small channel widths, same 31/4 geometry)."""
+        from segan_pytorch_tpu.ops.pallas import encoder_fused as ef
+
+        B, T1, C1, C2, C3 = 4, 256, 8, 16, 32
+        h1 = _rand(B, T1, C1)
+        w2 = _rand(31, C1, C2, seed=1) * 0.1
+        b2 = _rand(C2, seed=2) * 0.1
+        a2 = _rand(C2, seed=3) * 0.1
+        w3 = _rand(31, C2, C3, seed=4) * 0.1
+        b3 = _rand(C3, seed=5) * 0.1
+        a3 = _rand(C3, seed=6) * 0.1
+        pre2, pre3, post3 = ef.fused_enc23_fwd(
+            jnp.asarray(h1), jnp.asarray(w2), jnp.asarray(b2), jnp.asarray(a2),
+            jnp.asarray(w3), jnp.asarray(b3), jnp.asarray(a3),
+            batch_tile=2, interpret=True)
+
+        xp = reflect_pad_1d(jnp.asarray(h1), 14, 15)
+        y2_ref, pre2_ref = _xla_ref(np.asarray(xp), w2, b2, a2, 4)
+        yp = reflect_pad_1d(y2_ref, 14, 15)
+        y3_ref, pre3_ref = _xla_ref(np.asarray(yp), w3, b3, a3, 4)
+        np.testing.assert_allclose(np.asarray(pre2), np.asarray(pre2_ref),
+                                   atol=5e-6)
+        np.testing.assert_allclose(np.asarray(pre3), np.asarray(pre3_ref),
+                                   atol=5e-6)
+        np.testing.assert_allclose(np.asarray(post3), np.asarray(y3_ref),
+                                   atol=5e-6)
+
+
 class TestFusedConvGrad:
     def test_grad_parity_with_xla(self):
         B, L, cin, cout, k, s = 2, 128, 4, 8, 31, 4

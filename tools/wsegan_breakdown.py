@@ -21,20 +21,26 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def timeit(fn, *args, n=10, warmup=2):
+def _force_scalar(out):
+    """Force completion with a 4-byte D2H fetch (device-side sum): fetching a
+    full output array would drag MBs over the ~33 MB/s dev tunnel and inflate
+    the measurement (this bug inflated the first r3 table — e.g. stft_loss's
+    9.8 MB dGenh leaf added ~30 ms/10-iter window)."""
     import jax
+    import jax.numpy as jnp
 
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
+def timeit(fn, *args, n=10, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
-    # force completion with a D2H fetch (axon block_until_ready caveat)
-    leaf = jax.tree.leaves(out)[0]
-    float(np.asarray(leaf).ravel()[0])
+    _force_scalar(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    leaf = jax.tree.leaves(out)[0]
-    float(np.asarray(leaf).ravel()[0])
+    _force_scalar(out)
     return (time.perf_counter() - t0) / n * 1000
 
 
