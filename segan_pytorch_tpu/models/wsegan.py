@@ -303,20 +303,59 @@ class WSEGAN(SEGAN):
         stream = device_prefetch(batch_stream(), sharding=batch_shard)
         restore_sig = self._install_preempt_handler()
         total_iters = cfg.epoch * num_batches
+        # steps_per_call: run S full steps per dispatched program (lax.scan,
+        # bit-equal per step — tests/test_train.py::TestMultiStepDispatch);
+        # measured +2% step throughput at the canonical batch 150 (BENCH.md r3).
+        # Single-process only: stacking multi-host global arrays is not wired.
+        S = max(1, int(getattr(cfg, "steps_per_call", 1)))
+        if S > 1 and jax.process_count() > 1:
+            print("[!] steps_per_call > 1 is single-process only; using 1")
+            S = 1
+        if S > 1:
+            self.prepare_multi_step(S)
         # resume-aware: continue iteration numbering from the restored step so a
         # resumed run executes only the remaining budget and EOE ckpt names carry on
         # (mirrors SEGAN.train; the reference has no resume at all)
         start_iter = int(self.state.step) if self.state is not None else 0
         beg_t = timeit.default_timer()
-        for iteration in range(start_iter + 1, total_iters + 1):
-            batch = next(stream)
-            clean = batch["clean"][..., None]
-            noisy = batch["noisy"][..., None]
-            mask = batch.get("mask", np.ones((clean.shape[0],), np.float32))
-            additive_mask = batch["additive_mask"]
+        iteration = start_iter
+        while iteration < total_iters:
+            prev_iteration = iteration
+            # the scanned program is fixed at S steps: full groups go through it,
+            # the ragged tail falls back to single-step dispatches
+            n_sub = S if total_iters - iteration >= S else 1
             rng, krun = jax.random.split(rng)
-            metrics, Genh, z = self.train_step(clean, noisy, mask, additive_mask,
-                                               krun, l1_weight)
+            if n_sub > 1:
+                batches = [next(stream) for _ in range(n_sub)]
+                clean = jnp.stack([b["clean"][..., None] for b in batches])
+                noisy = jnp.stack([b["noisy"][..., None] for b in batches])
+                mask = jnp.stack([
+                    jnp.asarray(b.get("mask",
+                                      np.ones((b["clean"].shape[0],),
+                                              np.float32)))
+                    for b in batches])
+                amask = jnp.stack([jnp.asarray(b["additive_mask"])
+                                   for b in batches])
+                _, metrics, Genh, z = self.train_step_multi(
+                    clean, noisy, mask, amask, rng=krun,
+                    l1_w_s=[l1_weight] * n_sub)
+                clean, noisy = clean[-1], noisy[-1]  # last sub-batch for samples
+                iteration += n_sub
+            else:
+                batch = next(stream)
+                clean = batch["clean"][..., None]
+                noisy = batch["noisy"][..., None]
+                mask = batch.get("mask",
+                                 np.ones((clean.shape[0],), np.float32))
+                additive_mask = batch["additive_mask"]
+                metrics, Genh, z = self.train_step(clean, noisy, mask,
+                                                   additive_mask, krun,
+                                                   l1_weight)
+                iteration += 1
+
+            def crossed(every: int) -> bool:
+                return iteration // every != prev_iteration // every
+
             end_t = timeit.default_timer()
             timings.append(end_t - beg_t)
             beg_t = timeit.default_timer()
@@ -325,7 +364,7 @@ class WSEGAN(SEGAN):
                 clean_samples = local_host_rows(clean, 20)
                 if z is not None:
                     z_sample = local_host_rows(z, 20)
-            if iteration % log_freq == 0:
+            if crossed(log_freq):
                 m = {k: float(v) for k, v in metrics.items()}
                 print(f"Iter {iteration}/{total_iters} ({num_batches} bpe)"
                       f" d_loss:{m['d_loss']:.4f}, g_loss: {m['g_loss']:.4f},"
@@ -357,10 +396,10 @@ class WSEGAN(SEGAN):
                     if is_chief:
                         self.gen_train_samples(clean_samples, noisy_samples, z_sample,
                                            iteration=iteration)
-            if iteration % num_batches == 0:
+            if crossed(num_batches):
                 epoch = iteration // num_batches
                 if epoch % max(1, getattr(cfg, "eoe_save_every", 1)) == 0 \
-                        or iteration == total_iters:
+                        or iteration >= total_iters:
                     if is_chief:
                         self.save(eoe_g_saver, eoe_d_saver, iteration)
             if self._preempted:

@@ -260,6 +260,19 @@ class TestWSEGANResume:
 
         return DL()
 
+    def test_wsegan_loop_steps_per_call(self, tmp_path):
+        """cfg.steps_per_call=2: the loop dispatches scanned 2-step programs,
+        advances the counter correctly, and handles the ragged tail (odd total)
+        with single steps."""
+        cfg = small_cfg(wsegan=True, batch_size=2, epoch=3,
+                        save_path=str(tmp_path), no_train_gen=True,
+                        steps_per_call=2)
+        ws = WSEGAN(cfg)
+        ws.init_state(batch_size=2)
+        dl = self._fake_dloader(n_batches=3)  # total budget 3*3 = 9 (odd)
+        ws.train(cfg, dl, log_freq=4)
+        assert int(ws.state.step) == 9
+
     def test_resumed_wsegan_runs_only_remaining_iters(self, tmp_path, monkeypatch):
         """After restoring state.step=k, WSEGAN.train must execute exactly
         epoch*num_batches - k steps (remaining budget), not the full budget."""
