@@ -39,7 +39,7 @@ import numpy as np
 from segan_pytorch_tpu.utils.config import SEGANConfig
 from segan_pytorch_tpu.models import SEGAN
 
-GLOBAL_B = 16
+GLOBAL_B = int(os.environ.get("MH_GB", "16"))
 cfg = SEGANConfig(slice_size=1024, genc_fmaps=[8, 16, 32], genc_poolings=[4, 4, 4],
                   z_dim=32, denc_fmaps=[8, 16, 32], denc_poolings=[4, 4, 4],
                   dpool_slen=16, batch_size=GLOBAL_B, dp=NDEV * nproc,
@@ -48,6 +48,21 @@ segan = SEGAN(cfg)
 segan.init_state(jax.random.PRNGKey(7), batch_size=GLOBAL_B)  # same seed on all hosts
 segan.prepare_train(GLOBAL_B)
 assert segan.mesh is not None and segan.mesh.devices.size == NDEV * nproc
+
+# AOT-precompile the sharded step BEFORE any collective dispatch: gloo's
+# context-creation KV wait is hard-coded at 30 s, and cold per-process compiles
+# can skew first-dispatch arrivals past it (observed flake under suite load).
+# .lower().compile() is purely local and also warms the persistent cache.
+import jax.numpy as jnp
+from segan_pytorch_tpu.parallel import batch_sharding as _bs
+_sh = _bs(segan.mesh)
+_zl = np.zeros((GLOBAL_B // nproc, 1024, 1), np.float32)
+_cg = jax.make_array_from_process_local_data(_sh, _zl)
+_mg = jax.make_array_from_process_local_data(
+    _sh, np.ones((GLOBAL_B // nproc,), np.float32))
+segan._jit_step.lower(segan.state, _cg, _cg, _mg, jax.random.PRNGKey(0),
+                      jnp.float32(100.0)).compile()
+print("precompiled", pid, flush=True)
 
 # deterministic GLOBAL batch; every process slices out its own local shard
 rng = np.random.RandomState(0)
@@ -122,7 +137,7 @@ print(f"MHRESUME {pid} step={step} csum={csum:.6f}", flush=True)
 # process_allgather rebuilds the identical full result set everywhere ---
 class EvalDS:
     def __len__(self):
-        return 6
+        return int(os.environ.get("MH_EVAL_N", "6"))
     def __getitem__(self, i):
         tt = np.arange(4096) / 16000.0
         c = (np.sin(2 * np.pi * (180 + 25 * i) * tt) * 0.4).astype(np.float32)
@@ -130,24 +145,37 @@ class EvalDS:
                 "noisy": c + 0.1 * np.random.RandomState(100 + i).randn(4096).astype(np.float32),
                 "slice_idx": 0}
 
-va = DataLoader(EvalDS(), batch_size=6, shuffle=False, seed=1)
+va = DataLoader(EvalDS(), batch_size=len(EvalDS()), shuffle=False, seed=1)
 evals = segan.evaluate(cfg, va, log_freq=100, do_noisy=False, max_samples=1)
-assert len(evals["ssnr"]) == 6, {k: len(v) for k, v in evals.items()}
+assert len(evals["ssnr"]) == len(EvalDS()), {k: len(v) for k, v in evals.items()}
 segan.close_pool()
 means = " ".join(f"{k}={float(np.mean(v)):.6f}" for k, v in sorted(evals.items()))
 print("MHEVAL", pid, means, flush=True)
 """
 
 
+def _free_port() -> str:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return str(s.getsockname()[1])
+
+
 @pytest.mark.skipif(sys.platform != "linux", reason="gloo smoke is linux-only")
-@pytest.mark.parametrize("nproc,ndev,port", [(2, 4, "29531"), (4, 2, "29533")])
-def test_multi_process_train_step(tmp_path, nproc, ndev, port):
+@pytest.mark.parametrize("nproc,ndev", [(2, 4), (4, 2)])
+def test_multi_process_train_step(tmp_path, nproc, ndev):
     """2 procs x 4 devices and 4 procs x 2 devices over the same 8-device mesh:
     train step + sharded loader + chief-checkpoint resume + sharded evaluate."""
+    port = _free_port()  # fixed ports flake on TIME_WAIT from earlier runs
     worker = tmp_path / "mh_worker.py"
     worker.write_text(WORKER)
+    # 4-proc: lighter shapes — more processes compiling/executing concurrently
+    # on one box skews arrivals, and gloo's context handshake is a hard 30 s
     env = dict(os.environ, PYTHONPATH=ROOT, MH_NDEV=str(ndev),
-               MH_RESUME_DIR=str(tmp_path / "resume_ck"))
+               MH_RESUME_DIR=str(tmp_path / "resume_ck"),
+               MH_GB="8" if nproc >= 4 else "16",
+               MH_EVAL_N="4" if nproc >= 4 else "6")
     env.pop("JAX_PLATFORMS", None)
     procs = [subprocess.Popen(
         [sys.executable, str(worker), str(pid), str(nproc), port],
