@@ -57,7 +57,7 @@ def _resolve_method(method: str | None) -> str:
     return method
 
 
-def stft_mag(
+def _stft_power(
     x: jax.Array,
     n_fft: int = 2048,
     hop_length: int = 160,
@@ -67,11 +67,12 @@ def stft_mag(
     method: str | None = None,
     precision: str | None = None,
 ) -> jax.Array:
-    """Magnitude STFT of (B, T) -> (B, n_fft//2+1, n_frames), torch.stft layout.
+    """|STFT|^2 of (B, T) -> (B, n_fft//2+1, n_frames), torch.stft layout.
 
-    window=None in torch means a rectangular window of win_length centered inside the
-    n_fft frame (zero-padded both sides). `method`: 'fft' | 'matmul' | None
-    (auto: matmul on TPU — see module docstring; override with SEGAN_TPU_STFT).
+    The power form (re^2 + im^2, no sqrt) is what the training loss consumes —
+    and it is the gradient-safe form: sqrt's derivative at an exactly-zero
+    frame is 0/0 = NaN, and bf16 generator outputs DO produce exact-zero
+    frames (observed as a NaN blowup in a real WSEGAN hardware run).
     """
     B, T = x.shape
     n_fft = min(T, n_fft)
@@ -82,9 +83,10 @@ def stft_mag(
     if _resolve_method(method) == "matmul":
         # frame only the nonzero window samples and contract with the real DFT
         # basis on the MXU. fp32 at HIGHEST precision for fft parity (6-pass
-        # MXU emulation); SEGAN_TPU_STFT_PRECISION=default opts into the 1-pass
-        # bf16-input/fp32-accum contraction (~1e-3 relative magnitude error —
-        # fine for the pow_weight=0.001 training loss, not for metric parity)
+        # MXU emulation); precision='default' (or SEGAN_TPU_STFT_PRECISION)
+        # opts into the 1-pass bf16-input/fp32-accum contraction (~1e-3
+        # relative error — fine for the pow_weight=0.001 training loss, not
+        # for metric parity)
         left = (n_fft - win_length) // 2
         Tp = x.shape[1]
         n_frames = 1 + (Tp - n_fft) // hop_length
@@ -101,8 +103,8 @@ def stft_mag(
             precision=prec,
             preferred_element_type=jnp.float32)  # (B, F, 2*(nb))
         nb = n_fft // 2 + 1
-        mag = jnp.sqrt(Y[..., :nb] ** 2 + Y[..., nb:] ** 2)
-        mag = mag.astype(x.dtype)
+        power = Y[..., :nb] ** 2 + Y[..., nb:] ** 2
+        power = power.astype(x.dtype)
     else:
         frames = _frame(x, n_fft, hop_length)  # (B, F, n_fft)
         if win_length < n_fft:
@@ -111,14 +113,43 @@ def stft_mag(
             w = jnp.zeros((n_fft,), x.dtype).at[left : left + win_length].set(1.0)
             frames = frames * w
         spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # (B, F, n_fft//2+1)
-        mag = jnp.abs(spec)
+        power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     if normalized:
-        mag = mag / jnp.sqrt(jnp.asarray(n_fft, x.dtype))
-    return jnp.transpose(mag, (0, 2, 1))  # (B, bins, frames)
+        power = power / jnp.asarray(n_fft, power.dtype)
+    return jnp.transpose(power, (0, 2, 1))  # (B, bins, frames)
+
+
+def stft_mag(
+    x: jax.Array,
+    n_fft: int = 2048,
+    hop_length: int = 160,
+    win_length: int = 320,
+    normalized: bool = True,
+    center: bool = True,
+    method: str | None = None,
+    precision: str | None = None,
+) -> jax.Array:
+    """Magnitude STFT of (B, T) -> (B, n_fft//2+1, n_frames), torch.stft layout.
+
+    window=None in torch means a rectangular window of win_length centered inside the
+    n_fft frame (zero-padded both sides). `method`: 'fft' | 'matmul' | None
+    (auto: matmul on TPU — see module docstring; override with SEGAN_TPU_STFT).
+    NB: the magnitude's gradient is undefined at exactly-zero frames; losses
+    should go through power_spectrum_db (the sqrt-free power form).
+    """
+    return jnp.sqrt(_stft_power(x, n_fft=n_fft, hop_length=hop_length,
+                                win_length=win_length, normalized=normalized,
+                                center=center, method=method,
+                                precision=precision))
 
 
 def power_spectrum_db(x: jax.Array, n_fft: int = 2048,
-                      precision: str | None = None) -> jax.Array:
-    """10*log10(|STFT|^2 + 1e-19) as in ref model.py:645-646,651-652."""
-    mag = stft_mag(x, n_fft=n_fft, precision=precision)
-    return 10.0 * jnp.log10(mag**2 + 10e-20)
+                      precision: str | None = None,
+                      method: str | None = None) -> jax.Array:
+    """10*log10(|STFT|^2 + 1e-19) as in ref model.py:645-646,651-652.
+
+    Computed through the sqrt-free power form: forward-identical to
+    10*log10(mag^2 + eps), but with a finite gradient at exactly-zero frames
+    (the sqrt-then-square chain NaNs there — see _stft_power)."""
+    p = _stft_power(x, n_fft=n_fft, precision=precision, method=method)
+    return 10.0 * jnp.log10(p + 10e-20)

@@ -27,7 +27,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.signal import pre_emphasize_np
 from ..parallel.inference import chunk_grid, overlap_add, _bucket_pow2
 
 

@@ -232,6 +232,24 @@ class TestSTFT:
         b = np.asarray(stft_mag(x, method="matmul"))
         np.testing.assert_allclose(b, a, atol=2e-5)
 
+    def test_power_loss_grad_finite_on_silence(self):
+        """Regression (caught in a real WSEGAN hardware run): the power loss
+        gradient must be finite on inputs with exactly-zero frames — the old
+        sqrt(|X|)-then-square chain NaN'd there (d sqrt/dx at 0 = inf, * 0)."""
+        from segan_pytorch_tpu.ops.stft import power_spectrum_db
+
+        for method in ("fft", "matmul"):
+            for x in (jnp.zeros((2, 4096), jnp.float32),          # all silence
+                      jnp.concatenate([jnp.zeros((1, 4096)),       # half silence
+                                       jnp.asarray(_rand(1, 4096))])):
+                g = jax.grad(lambda a: jnp.mean(
+                    stft_mag(a, method=method, n_fft=2048) ** 2))(x)
+                # stft_mag itself is documented grad-unsafe at 0; the LOSS path:
+                gp = jax.grad(lambda a: jnp.mean(
+                    power_spectrum_db(a, 2048, method=method)))(x)
+                assert np.isfinite(np.asarray(gp)).all(), method
+        del g  # mag grad may be nan at exact zeros; only the loss path is pinned
+
     def test_dft_basis_cache_is_trace_safe(self):
         """Regression: the cached DFT basis must be numpy, not a jax array — a
         first use INSIDE a jit trace would otherwise cache a tracer and poison
