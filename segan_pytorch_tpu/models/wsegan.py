@@ -529,6 +529,9 @@ class AEWSEGAN(WSEGAN):
             self.init_state(batch_size=batch_size or 1)
         g_tx = self._build_g_tx()
         step = make_ae_train_step(self.G, g_tx, self.cfg, self.use_l1)
+        # raw step kept for prepare_multi_step (same (state, clean, noisy, mask,
+        # rng, l1_w) signature as the SEGAN step, so the inherited scan works)
+        self._raw_step = step
         self._jit_step = jax.jit(step, donate_argnums=(0,))
         self._setup_parallel()
         return self._jit_step
@@ -567,16 +570,49 @@ class AEWSEGAN(WSEGAN):
         stream = device_prefetch(batch_stream())
         restore_sig = self._install_preempt_handler()
         total_iters = cfg.epoch * num_batches
+        # steps_per_call: same multi-step-per-dispatch machinery as SEGAN/WSEGAN
+        # (prepare_multi_step lax.scan; per-step math bit-equal —
+        # tests/test_train.py::TestMultiStepDispatch::test_aewsegan). The AE loop
+        # is rarely dispatch-bound (one G pass/step) but shares the knob for parity.
+        S = max(1, int(getattr(cfg, "steps_per_call", 1)))
+        if S > 1 and jax.process_count() > 1:
+            print("[!] steps_per_call > 1 is single-process only; using 1")
+            S = 1
+        if S > 1:
+            self.prepare_multi_step(S)
         # resume-aware: same remaining-budget semantics as WSEGAN.train above
         start_iter = int(self.state.step) if self.state is not None else 0
         beg_t = timeit.default_timer()
-        for iteration in range(start_iter + 1, total_iters + 1):
-            batch = next(stream)
-            clean = batch["clean"][..., None]
-            noisy = batch["noisy"][..., None]
-            mask = batch.get("mask", np.ones((clean.shape[0],), np.float32))
+        iteration = start_iter
+        while iteration < total_iters:
+            prev_iteration = iteration
+            n_sub = S if total_iters - iteration >= S else 1
             rng, krun = jax.random.split(rng)
-            metrics, Genh, z = self.train_step(clean, noisy, mask, krun, l1_init)
+            if n_sub > 1:
+                batches = [next(stream) for _ in range(n_sub)]
+                clean = jnp.stack([b["clean"][..., None] for b in batches])
+                noisy = jnp.stack([b["noisy"][..., None] for b in batches])
+                mask = jnp.stack([
+                    jnp.asarray(b.get("mask",
+                                      np.ones((b["clean"].shape[0],),
+                                              np.float32)))
+                    for b in batches])
+                _, metrics, Genh, z = self.train_step_multi(
+                    clean, noisy, mask, rng=krun, l1_w_s=[l1_init] * n_sub)
+                clean, noisy = clean[-1], noisy[-1]  # last sub-batch for samples
+                iteration += n_sub
+            else:
+                batch = next(stream)
+                clean = batch["clean"][..., None]
+                noisy = batch["noisy"][..., None]
+                mask = batch.get("mask", np.ones((clean.shape[0],), np.float32))
+                metrics, Genh, z = self.train_step(clean, noisy, mask, krun,
+                                                   l1_init)
+                iteration += 1
+
+            def crossed(every: int) -> bool:
+                return iteration // every != prev_iteration // every
+
             end_t = timeit.default_timer()
             timings.append(end_t - beg_t)
             beg_t = timeit.default_timer()
@@ -585,7 +621,7 @@ class AEWSEGAN(WSEGAN):
                 clean_samples = local_host_rows(clean, 20)
                 if z is not None:
                     z_sample = local_host_rows(z, 20)
-            if iteration % log_freq == 0:
+            if crossed(log_freq):
                 loss = float(metrics["loss"])
                 # power loss logged but not backwarded (ref model.py:842-857)
                 genh_pow = np.asarray(power_spectrum_db(
@@ -615,10 +651,10 @@ class AEWSEGAN(WSEGAN):
                             best_saver.save("Generator", iteration, g_tree,
                                             best_val=True)
                         best_val_obj = sd
-            if iteration % num_batches == 0:
+            if crossed(num_batches):
                 epoch = iteration // num_batches
                 if epoch % max(1, getattr(cfg, "eoe_save_every", 1)) == 0 \
-                        or iteration == total_iters:
+                        or iteration >= total_iters:
                     g_tree = {"params": self.state.g_params,
                               **self.state.g_vars}
                     if is_chief:

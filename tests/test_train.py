@@ -273,6 +273,17 @@ class TestWSEGANResume:
         ws.train(cfg, dl, log_freq=4)
         assert int(ws.state.step) == 9
 
+    def test_aewsegan_loop_steps_per_call(self, tmp_path):
+        """AEWSEGAN.train with cfg.steps_per_call=2: scanned dispatches + ragged
+        tail, counter lands exactly on the budget."""
+        cfg = small_cfg(batch_size=2, epoch=3, save_path=str(tmp_path),
+                        no_train_gen=True, steps_per_call=2)
+        ae = AEWSEGAN(cfg)
+        ae.init_state(batch_size=2)
+        dl = self._fake_dloader(n_batches=3)  # budget 9 (odd -> ragged tail)
+        ae.train(cfg, dl, log_freq=4)
+        assert int(ae.state.step) == 9
+
     def test_resumed_wsegan_runs_only_remaining_iters(self, tmp_path, monkeypatch):
         """After restoring state.step=k, WSEGAN.train must execute exactly
         epoch*num_batches - k steps (remaining budget), not the full budget."""
@@ -326,6 +337,38 @@ class TestMultiStepDispatch:
         for k in m_ref:
             np.testing.assert_allclose(float(m_last[k]), float(m_ref[k]),
                                        rtol=2e-5, atol=1e-6, err_msg=k)
+        ga = flatten_tree(jax.device_get(a.state.g_params))
+        gb = flatten_tree(jax.device_get(b.state.g_params))
+        for k in ga:
+            np.testing.assert_allclose(ga[k], gb[k], rtol=1e-5, atol=1e-6,
+                                       err_msg=k)
+        assert int(b.state.step) == 2
+        assert Genh.shape == clean.shape
+
+    def test_aewsegan_two_scanned_steps_equal_two_single_steps(self):
+        """AEWSEGAN shares prepare_multi_step via its matching raw-step
+        signature; the scanned program must match sequential dispatches."""
+        cfg = small_cfg()
+        clean, noisy, mask = synth_batch()
+        c2, n2, _ = synth_batch(seed=1)
+        rng = jax.random.PRNGKey(7)
+        ks = jax.random.split(rng, 2)
+
+        a = AEWSEGAN(cfg)
+        a.init_state(batch_size=4)
+        a.prepare_train(4)
+        a.train_step(clean, noisy, mask, ks[0], 100.0)
+        m_ref, _, _ = a.train_step(c2, n2, mask, ks[1], 100.0)
+
+        b = AEWSEGAN(cfg)
+        b.init_state(batch_size=4)
+        b.prepare_train(4)
+        b.prepare_multi_step(2)
+        _, m_last, Genh, z = b.train_step_multi(
+            np.stack([clean, c2]), np.stack([noisy, n2]),
+            np.stack([mask, mask]), rng=rng, l1_w_s=[100.0, 100.0])
+        np.testing.assert_allclose(float(m_last["loss"]), float(m_ref["loss"]),
+                                   rtol=2e-5, atol=1e-6)
         ga = flatten_tree(jax.device_get(a.state.g_params))
         gb = flatten_tree(jax.device_get(b.state.g_params))
         for k in ga:
