@@ -77,6 +77,7 @@ class SEDataset:
         preemph_norm: bool = False,
         random_scale: Sequence[float] = (1,),
         transform=None,
+        io_threads: int = 0,
     ):
         """transform: optional augmentor called as transform(clean_slice) -> noisy
         slice on the NORMALIZED (pre-pre-emphasis) clean signal; when set, the
@@ -111,6 +112,8 @@ class SEDataset:
         self.preemph_norm = preemph_norm
         self.random_scale = list(random_scale)
         self.slice_workers = slice_workers
+        # native gather thread-pool size; 0 = hardware_concurrency (segan_io.cpp)
+        self.io_threads = int(io_threads)
         self._wav_cache: Dict[str, np.ndarray] = {}
 
         os.makedirs(cache_dir, exist_ok=True)
@@ -203,7 +206,8 @@ class SEDataset:
             try:
                 from .native import NativeAudioEngine
 
-                self._native = NativeAudioEngine()
+                self._native = NativeAudioEngine(
+                    threads=getattr(self, "io_threads", 0))
             except Exception:
                 self._native = False
         if self._native is False:

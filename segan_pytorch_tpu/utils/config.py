@@ -146,11 +146,13 @@ class SEGANConfig:
     shuffle_buffer: int = 0
     # full train steps per dispatched program (lax.scan over stacked batches;
     # bit-equal per step). Amortizes per-dispatch overhead — measured +2% on the
-    # WSEGAN step at batch 150 (39.7 -> 40.6% MFU at 4). Supported by the
-    # WSEGAN loop; SEGAN's epoch loop keeps single-step dispatch (+1.3% only)
+    # WSEGAN step at batch 150 (39.7 -> 40.6% MFU at 4). Honored by the WSEGAN
+    # and AEWSEGAN loops; SEGAN's epoch loop keeps single-step dispatch (+1.3%)
     steps_per_call: int = 1
     # collate-time cast of clean/noisy (e.g. 'bfloat16' halves H2D bytes)
     loader_dtype: Optional[str] = None
+    # native gather (segan_io.cpp) thread-pool size; 0 = hardware concurrency
+    io_threads: int = 0
 
     def __post_init__(self):
         if self.bias is None:

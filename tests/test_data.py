@@ -189,6 +189,26 @@ class TestLoaderModes:
         assert b["noisy"].dtype == jnp.bfloat16
         assert b["mask"].dtype == np.float32  # mask stays fp32
 
+    def test_emit_dtype_bf16_h5(self, tmp_path):
+        """emit_dtype covers the H5 path too (cast happens at the DataLoader,
+        after any dataset gather)."""
+        import h5py
+        import jax.numpy as jnp
+
+        from segan_pytorch_tpu.data import DataLoader
+        from segan_pytorch_tpu.data.se_dataset import SEH5Dataset
+
+        with h5py.File(str(tmp_path / "train.h5"), "w") as f:
+            f.create_dataset("data", data=np.random.RandomState(0)
+                             .randn(6, 1024).astype(np.float32))
+            f.create_dataset("label", data=np.random.RandomState(1)
+                             .randn(6, 1024).astype(np.float32))
+        ds = SEH5Dataset(str(tmp_path), split="train", preemph=0.95)
+        dl = DataLoader(ds, batch_size=3, shuffle=False, emit_dtype="bfloat16")
+        b = next(iter(dl))
+        assert b["clean"].dtype == jnp.bfloat16
+        assert b["noisy"].dtype == jnp.bfloat16
+
 
 class TestAdditive:
     def test_snr_scaling(self, tmp_path):
@@ -403,6 +423,25 @@ class TestNativeLoader:
         np.testing.assert_allclose(b_native["noisy"], b_py["noisy"], atol=2e-7)
         assert b_native["uttname"] == b_py["uttname"]
         np.testing.assert_array_equal(b_native["slice_idx"], b_py["slice_idx"])
+
+    def test_io_threads_plumbed_to_engine(self, wav_dirs, tmp_path):
+        """SEDataset(io_threads=N) reaches NativeAudioEngine (train.py
+        --io_threads); a 1-thread pool must produce identical batches."""
+        from segan_pytorch_tpu.data import SEDataset
+        from segan_pytorch_tpu.data import native as native_mod
+
+        if not native_mod.available():
+            pytest.skip("native lib unavailable")
+        clean_d, noisy_d, _ = wav_dirs
+        ds1 = SEDataset(clean_d, noisy_d, 0.95, cache_dir=str(tmp_path / "t1"),
+                        slice_size=16384, stride=0.5, io_threads=1)
+        dsN = SEDataset(clean_d, noisy_d, 0.95, cache_dir=str(tmp_path / "tN"),
+                        slice_size=16384, stride=0.5)
+        b1 = ds1.gather_batch([0, 1, 2, 3])
+        bN = dsN.gather_batch([0, 1, 2, 3])
+        assert b1 is not None and bN is not None
+        np.testing.assert_array_equal(b1["clean"], bN["clean"])
+        np.testing.assert_array_equal(b1["noisy"], bN["noisy"])
 
 
 class TestH5Path:

@@ -104,8 +104,11 @@ def build_parser():
                              '(1 = reference parity, 0 = full valset sweep).')
     parser.add_argument('--steps_per_call', type=int, default=1,
                         help='Train steps per dispatched program (lax.scan; '
-                             'bit-equal per step). WSEGAN loop; single-process. '
-                             'Measured +2% at canonical batch 150.')
+                             'bit-equal per step). WSEGAN/AEWSEGAN loops; '
+                             'single-process. Measured +2% at canonical batch 150.')
+    parser.add_argument('--io_threads', type=int, default=0,
+                        help='Native wav-gather thread-pool size '
+                             '(0 = hardware concurrency).')
     parser.add_argument('--shuffle_buffer', type=int, default=0,
                         help='>0: streaming bounded-buffer shuffle of that many '
                              'slices per shard instead of a global shuffle '
@@ -195,7 +198,8 @@ def main(cfg):
                          slice_workers=cfg.slice_workers,
                          preemph_norm=cfg.preemph_norm,
                          random_scale=cfg.random_scale,
-                         transform=transform)
+                         transform=transform,
+                         io_threads=getattr(cfg, 'io_threads', 0))
     # multi-host: every process walks the identical seeded shuffle and loads only
     # its rows of each global batch (assembled on device by device_prefetch via
     # make_array_from_process_local_data)
@@ -215,7 +219,8 @@ def main(cfg):
                                 stride=cfg.data_stride, slice_size=cfg.slice_size,
                                 max_samples=cfg.max_samples, verbose=True,
                                 slice_workers=cfg.slice_workers,
-                                preemph_norm=cfg.preemph_norm)
+                                preemph_norm=cfg.preemph_norm,
+                                io_threads=getattr(cfg, 'io_threads', 0))
         va_dloader = DataLoader(va_dset, batch_size=300, shuffle=False,
                                 num_workers=cfg.num_workers, seed=cfg.seed)
     else:
