@@ -20,6 +20,7 @@ The reference stops at batch CLIs; this module completes the deployment story
 from __future__ import annotations
 
 import threading
+import time
 from typing import List, Optional
 
 import numpy as np
@@ -51,9 +52,21 @@ class MicroBatcher:
     next one (no artificial wait: the device itself provides the window).
     """
 
-    def __init__(self, segan, max_batch_chunks: int = 128):
+    def __init__(self, segan, max_batch_chunks: int = 128,
+                 target_batch_seconds: float = 0.0,
+                 min_batch_chunks: int = 8):
+        """target_batch_seconds > 0 enables ADAPTIVE batch sizing: the chunk
+        budget tracks measured device latency so one coalesced pass stays under
+        the target (bounding the queueing delay a small request can suffer
+        behind a giant one). Warm-up compiles are excluded from the estimate
+        (a batch only updates the EMA when its padded-row bucket has run
+        before). max_batch_chunks stays the hard cap."""
         self.segan = segan
         self.max_batch_chunks = max_batch_chunks
+        self.target_batch_seconds = float(target_batch_seconds)
+        self.min_batch_chunks = int(min_batch_chunks)
+        self._sec_per_chunk: Optional[float] = None  # EMA over warm batches
+        self._warm_buckets: set = set()
         self._queue: List[_Job] = []
         self._cv = threading.Condition()
         self._stop = False
@@ -101,14 +114,24 @@ class MicroBatcher:
                         j.error = e
                         j.event.set()
 
+    @property
+    def effective_max_chunks(self) -> int:
+        """Current chunk budget: fixed, or latency-adapted when
+        target_batch_seconds is set and a warm latency estimate exists."""
+        if self.target_batch_seconds <= 0 or not self._sec_per_chunk:
+            return self.max_batch_chunks
+        fit = int(self.target_batch_seconds / self._sec_per_chunk)
+        return max(self.min_batch_chunks, min(self.max_batch_chunks, fit))
+
     def _drain_locked(self) -> List[_Job]:
         """Take queued jobs up to the chunk budget (called with the lock)."""
         S = self.segan.cfg.slice_size
+        budget = self.effective_max_chunks
         jobs, total = [], 0
         while self._queue:
             j = self._queue[0]
             n = max(1, -(-len(j.pwav) // S))
-            if jobs and total + n > self.max_batch_chunks:
+            if jobs and total + n > budget:
                 break
             jobs.append(self._queue.pop(0))
             total += n
@@ -148,9 +171,18 @@ class MicroBatcher:
                     [z, np.zeros((n_padded - n_rows,) + z.shape[1:],
                                  z.dtype)], axis=0)
             zb = jnp.asarray(z)
+        t0 = time.perf_counter()
         out, _ = segan._gfwd_jit()(segan.state.g_params, segan.state.g_vars,
                                    jnp.asarray(x), zb)
         out = np.asarray(out)
+        dt = time.perf_counter() - t0
+        # latency estimate for the adaptive budget: only batches whose padded
+        # shape has run before (cold batches include the XLA compile)
+        if n_padded in self._warm_buckets:
+            spc = dt / n_padded
+            self._sec_per_chunk = (spc if self._sec_per_chunk is None
+                                   else 0.7 * self._sec_per_chunk + 0.3 * spc)
+        self._warm_buckets.add(n_padded)
         self.batches += 1
         row = 0
         from ..ops.signal import de_emphasize_np

@@ -29,6 +29,11 @@ clients cost ~1 batched forward instead of N serialized ones. Enhancement is
 chunk-parallel on device; a single long request already saturates the chip;
 RTF ≈ 0.055 (BENCH.md).
 
+Guards: --max_stream_seconds caps a streaming session's wall clock (the stream
+is finalized from the audio fed so far and the connection closed);
+--target_batch_seconds adapts the MicroBatcher's chunk budget to measured
+warm-batch device latency so one coalesced pass stays under the target.
+
 Usage:
     python serve.py --g_pretrained_ckpt ckpt/weights_EOE_G-Generator-N.ckpt \
         --cfg_file ckpt/train.opts --port 8080
@@ -77,8 +82,11 @@ def make_handler(cfg, segan, state):
     from segan_pytorch_tpu.ops.signal import normalize_wave_minmax, pre_emphasize_np
     from segan_pytorch_tpu.utils.serving import MicroBatcher, StreamingEnhancer
 
-    batcher = MicroBatcher(segan)
+    batcher = MicroBatcher(
+        segan,
+        target_batch_seconds=state.get("target_batch_seconds", 0.0))
     state["batcher"] = batcher
+    max_stream_s = float(state.get("max_stream_seconds", 0.0))
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -105,6 +113,7 @@ def make_handler(cfg, segan, state):
                 "warm_s": state["warm_s"],
                 "requests": state["requests"],
                 "batches": batcher.batches,
+                "batch_chunk_budget": batcher.effective_max_chunks,
             })
 
         def _params(self):
@@ -220,10 +229,11 @@ def make_handler(cfg, segan, state):
                     yield piece
 
         def _write_chunk(self, data: bytes):
+            # one socket write per HTTP chunk (framing + payload + CRLF): a
+            # slow client applies backpressure in a single blocking write
+            # instead of three, and small chunks don't interleave with Nagle
             if data:
-                self.wfile.write(f"{len(data):x}\r\n".encode())
-                self.wfile.write(data)
-                self.wfile.write(b"\r\n")
+                self.wfile.write(b"%x\r\n%s\r\n" % (len(data), data))
 
         def _enhance_stream(self, params, chunked):
             try:
@@ -249,8 +259,16 @@ def make_handler(cfg, segan, state):
             carry = b""
             t0 = time.perf_counter()
             n_out = 0
+            truncated = False
             try:
                 for piece in self._incoming_pieces(chunked):
+                    if max_stream_s > 0 and \
+                            time.perf_counter() - t0 > max_stream_s:
+                        # session guard: stop consuming input, finalize what was
+                        # fed, and drop the connection (unread body remains, so
+                        # keep-alive reuse would misparse it)
+                        truncated = True
+                        break
                     carry += piece
                     usable = len(carry) - (len(carry) % 2)
                     if not usable:
@@ -268,11 +286,15 @@ def make_handler(cfg, segan, state):
                 n_out += pcm_out.size
                 self._write_chunk(pcm_out.tobytes())
                 self.wfile.write(b"0\r\n\r\n")
+                if truncated:
+                    self.close_connection = True
                 state["requests"] += 1
                 if state["verbose"]:
                     dt = time.perf_counter() - t0
                     print(f"[serve] stream: {n_out} samples in {dt:.3f}s "
-                          f"(window {window}, overlap {overlap})", flush=True)
+                          f"(window {window}, overlap {overlap}"
+                          f"{', TRUNCATED at session limit' if truncated else ''})",
+                          flush=True)
             except (ValueError, ConnectionError, BrokenPipeError) as e:
                 # mid-stream failure: the only safe recovery is dropping the
                 # connection (headers are already out)
@@ -293,6 +315,14 @@ def main():
     p.add_argument("--warm_seconds", type=float, default=2.0,
                    help="seconds of silence used to pre-compile the common "
                         "chunk-bucket shapes before accepting traffic (0 = off)")
+    p.add_argument("--max_stream_seconds", type=float, default=3600.0,
+                   help="wall-clock cap per /enhance_stream session; past it the "
+                        "stream is finalized and the connection closed (0 = "
+                        "unlimited)")
+    p.add_argument("--target_batch_seconds", type=float, default=0.0,
+                   help=">0: adapt the MicroBatcher chunk budget so one "
+                        "coalesced device pass stays under this latency "
+                        "(measured from warm batches; 0 = fixed budget)")
     p.add_argument("--verbose", action="store_true")
     opts = p.parse_args()
 
@@ -302,7 +332,9 @@ def main():
 
     cfg, segan = build_enhancement_engine(opts.cfg_file, opts.g_pretrained_ckpt,
                                           opts.seed)
-    state = {"warm_s": 0.0, "requests": 0, "verbose": opts.verbose}
+    state = {"warm_s": 0.0, "requests": 0, "verbose": opts.verbose,
+             "max_stream_seconds": opts.max_stream_seconds,
+             "target_batch_seconds": opts.target_batch_seconds}
     if opts.warm_seconds > 0:
         t0 = time.perf_counter()
         segan.generate(np.zeros(int(16000 * opts.warm_seconds), np.float32))

@@ -18,11 +18,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.fixture(scope="module")
-def server(tmp_path_factory):
-    from scipy.io import wavfile
-
-    import jax
-
+def tiny_ckpt(tmp_path_factory):
+    """Tiny SEGAN checkpoint + train.opts shared by the server fixtures."""
     from segan_pytorch_tpu.utils.config import SEGANConfig
     from segan_pytorch_tpu.models import SEGAN
     from segan_pytorch_tpu.utils.checkpoint import Saver
@@ -39,19 +36,21 @@ def server(tmp_path_factory):
     segan.save(gs, ds, 1)
     with open(root / "train.opts", "w") as f:
         f.write(cfg.to_json())
+    return root
 
-    port = 29777
+
+def _launch_server(root, port, extra_args=()):
     env = dict(os.environ, SEGAN_TPU_PLATFORM="cpu", PYTHONPATH=REPO)
     # server output goes to a FILE, not a PIPE: an undrained PIPE fills after
     # ~64K of logs and then BLOCKS the server mid-request (observed as an
     # order-dependent hang of whichever test ran after enough output)
-    log_path = root / "server.log"
+    log_path = root / f"server_{port}.log"
     log_f = open(log_path, "w")
     proc = subprocess.Popen(
         [sys.executable, "serve.py",
          "--g_pretrained_ckpt", str(root / "weights_EOE_G-Generator-1.ckpt"),
          "--cfg_file", str(root / "train.opts"),
-         "--port", str(port), "--warm_seconds", "0.2"],
+         "--port", str(port), "--warm_seconds", "0.2", *extra_args],
         cwd=REPO, env=env, stdout=log_f, stderr=subprocess.STDOUT,
         text=True)
     base = f"http://127.0.0.1:{port}"
@@ -72,6 +71,12 @@ def server(tmp_path_factory):
     else:
         proc.kill()
         raise RuntimeError(f"server never became healthy: {last_err}")
+    return base, proc, log_f
+
+
+@pytest.fixture(scope="module")
+def server(tiny_ckpt):
+    base, proc, log_f = _launch_server(tiny_ckpt, 29777)
     yield base
     proc.kill()
     proc.wait(timeout=10)
@@ -182,6 +187,43 @@ class TestServeStreaming:
         out2 = self._stream(server, pcm, "seed=3&overlap=0.25&window=1024",
                             chunk_sizes=(5000,))
         np.testing.assert_array_equal(out, out2)
+
+    def test_stream_session_guard_truncates(self, tiny_ckpt):
+        """--max_stream_seconds: a stream outliving the cap is finalized from
+        the audio fed so far (valid chunked response, shorter than the input)
+        and the connection is closed instead of hanging forever."""
+        import http.client
+
+        base, proc, log_f = _launch_server(tiny_ckpt, 29778,
+                                           ("--max_stream_seconds", "1.0"))
+        try:
+            host = base.split("//")[1]
+            n = 4096
+            x = (0.25 * np.sin(2 * np.pi * 330 * np.arange(n) / 16000.0))
+            pcm = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+            conn = http.client.HTTPConnection(host, timeout=120)
+            try:
+                conn.putrequest("POST", "/enhance_stream?seed=1&window=1024"
+                                        "&overlap=0")
+                conn.putheader("Transfer-Encoding", "chunked")
+                conn.endheaders()
+                half = len(pcm) // 2
+                conn.send(f"{half:x}\r\n".encode() + pcm[:half] + b"\r\n")
+                time.sleep(1.6)  # outlive the 1.0 s session cap
+                rest = pcm[half:]
+                conn.send(f"{len(rest):x}\r\n".encode() + rest + b"\r\n")
+                conn.send(b"0\r\n\r\n")
+                resp = conn.getresponse()
+                assert resp.status == 200
+                out = np.frombuffer(resp.read(), dtype="<i2")
+                # only the pre-cap half was enhanced
+                assert out.size == n // 2, out.size
+            finally:
+                conn.close()
+        finally:
+            proc.kill()
+            proc.wait(timeout=10)
+            log_f.close()
 
     def test_stream_bad_window_is_400(self, server):
         import urllib.error

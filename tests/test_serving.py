@@ -65,6 +65,32 @@ class TestMicroBatcher:
         finally:
             batcher.close()
 
+    def test_adaptive_budget_from_measured_latency(self):
+        """target_batch_seconds: the chunk budget follows the warm-batch
+        latency EMA (clamped to [min_batch_chunks, max_batch_chunks]); cold
+        (first-of-its-shape) batches must not feed the estimate."""
+        segan = tiny_engine()
+        batcher = MicroBatcher(segan, max_batch_chunks=64,
+                               target_batch_seconds=0.5, min_batch_chunks=8)
+        try:
+            # no estimate yet -> fixed budget
+            assert batcher.effective_max_chunks == 64
+            wav = pre_emphasize_np(raw_wav(2048, seed=1), 0.95)
+            batcher.enhance(wav, rng=jax.random.PRNGKey(0))
+            # first pass of this shape = compile; EMA must stay unset
+            assert batcher._sec_per_chunk is None
+            batcher.enhance(wav, rng=jax.random.PRNGKey(1))
+            assert batcher._sec_per_chunk is not None  # warm pass measured
+            # budget math: 10 ms/chunk at a 0.5 s target -> 50 chunks
+            batcher._sec_per_chunk = 0.01
+            assert batcher.effective_max_chunks == 50
+            batcher._sec_per_chunk = 10.0   # pathological latency -> floor
+            assert batcher.effective_max_chunks == 8
+            batcher._sec_per_chunk = 1e-6   # instant device -> hard cap
+            assert batcher.effective_max_chunks == 64
+        finally:
+            batcher.close()
+
     def test_concurrent_enhance_threads(self):
         segan = tiny_engine()
         batcher = MicroBatcher(segan)
