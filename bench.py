@@ -41,15 +41,18 @@ def main():
                              "'tiny' = small model for DP-mechanics/overhead runs on "
                              "the virtual CPU mesh, where the full model is too slow "
                              "to compile")
-    parser.add_argument("--steps_per_call", type=int, default=1,
+    parser.add_argument("--steps_per_call", type=int, default=4,
                         help="Full train steps per dispatched program "
                              "(lax.scan): amortizes the per-dispatch fixed "
-                             "cost; math identical per step. SEGAN engine only.")
+                             "cost; math identical per step. Matches the train "
+                             "loops' --steps_per_call (all three engines); "
+                             "1 = single-step dispatch.")
     parser.add_argument("--engine", type=str, default="segan",
-                        choices=["segan", "wsegan"],
+                        choices=["segan", "wsegan", "aewsegan"],
                         help="'wsegan' benches the WSEGAN step at its canonical "
                              "flag set (snorm G/D, adam, misalign_pair — "
-                             "run_wsegan_train.sh; canonical batch 150)")
+                             "run_wsegan_train.sh; canonical batch 150); "
+                             "'aewsegan' the G-only autoencoder step (adam)")
     args = parser.parse_args()
 
     import jax
@@ -75,10 +78,16 @@ def main():
     if args.engine == "wsegan":
         extra = dict(wsegan=True, gnorm_type="snorm", dnorm_type="snorm",
                      opt="adam", misalign_pair=True)
+    elif args.engine == "aewsegan":
+        extra = dict(aewsegan=True, opt="adam")
     cfg = SEGANConfig(batch_size=args.batch_size, save_path="/tmp/bench_segan",
                       compute_dtype=args.compute_dtype, no_train_gen=True,
                       use_pallas=args.use_pallas, dp=args.dp, **arch, **extra)
-    segan = (WSEGAN if args.engine == "wsegan" else SEGAN)(cfg)
+    from segan_pytorch_tpu.models import AEWSEGAN
+
+    engine_cls = {"segan": SEGAN, "wsegan": WSEGAN,
+                  "aewsegan": AEWSEGAN}[args.engine]
+    segan = engine_cls(cfg)
     segan.init_state(batch_size=args.batch_size)
     segan.prepare_train(args.batch_size)
 
@@ -116,11 +125,11 @@ def main():
             _, metrics, Genh, z = segan.train_step_multi(
                 *stacked, rng=k, l1_w_s=l1_s)
             return metrics, Genh, z
-        fetch_key = "d_real"
+        fetch_key = "loss" if args.engine == "aewsegan" else "d_real"
     else:
         def one_step(k):
             return segan.train_step(clean, noisy, mask, k, 100.0)
-        fetch_key = "d_real"
+        fetch_key = "loss" if args.engine == "aewsegan" else "d_real"
     metrics = None
     for i in range(args.warmup):
         key, k = jax.random.split(key)
@@ -139,7 +148,7 @@ def main():
     slices_per_sec_per_chip = steps_per_sec * B / n_chips
     result = {
         "metric": "train_slices_per_sec_per_chip",
-        **({"engine": "wsegan"} if args.engine == "wsegan" else {}),
+        **({"engine": args.engine} if args.engine != "segan" else {}),
         "value": round(slices_per_sec_per_chip, 2),
         "unit": "slices/s/chip",
         "vs_baseline": round(slices_per_sec_per_chip / BASELINE_SLICES_PER_SEC_EST, 3),

@@ -680,17 +680,57 @@ class SEGAN:
 
             batch_shard = batch_sharding(self.mesh)
         restore_sig = self._install_preempt_handler()
+        # steps_per_call: S full steps per dispatched program (prepare_multi_step
+        # lax.scan; per-step math bit-equal — tests/test_train.py::
+        # TestMultiStepDispatch). Groups never span an epoch (the ragged tail
+        # runs single steps), so EOE eval/ckpt cadence is unchanged; the l1
+        # decay advances per sub-step exactly as in single-step dispatch.
+        S = max(1, int(getattr(cfg, "steps_per_call", 1)))
+        if S > 1 and jax.process_count() > 1:
+            print("[!] steps_per_call > 1 is single-process only; using 1")
+            S = 1
+        if S > 1 and profiling:
+            print("[!] --profile needs per-step dispatch; steps_per_call -> 1")
+            S = 1
+        if S > 1:
+            self.prepare_multi_step(S)
         for epoch in range(start_epoch, cfg.epoch + 1):
             timer.start()
-            for bidx, batch in enumerate(
-                    device_prefetch(iter(dloader), sharding=batch_shard), start=1):
-                if epoch >= l1_dec_epoch and l1_weight > 0:
-                    l1_weight = max(0.0, l1_weight - l1_dec_step)
-                clean = batch["clean"][..., None]  # (B, T, 1)
-                noisy = batch["noisy"][..., None]
-                mask = batch.get("mask", np.ones((clean.shape[0],), np.float32))
+            stream = device_prefetch(iter(dloader), sharding=batch_shard)
+            bidx = 0
+            while bidx < num_batches:
+                prev_bidx = bidx
+                n_sub = S if num_batches - bidx >= S else 1
                 rng, krun = jax.random.split(rng)
-                metrics, Genh, z = self.train_step(clean, noisy, mask, krun, l1_weight)
+                if n_sub > 1:
+                    batches = [next(stream) for _ in range(n_sub)]
+                    l1_w_s = []
+                    for _ in range(n_sub):
+                        if epoch >= l1_dec_epoch and l1_weight > 0:
+                            l1_weight = max(0.0, l1_weight - l1_dec_step)
+                        l1_w_s.append(l1_weight)
+                    clean = jnp.stack([b["clean"][..., None] for b in batches])
+                    noisy = jnp.stack([b["noisy"][..., None] for b in batches])
+                    mask = jnp.stack([
+                        jnp.asarray(b.get("mask",
+                                          np.ones((b["clean"].shape[0],),
+                                                  np.float32)))
+                        for b in batches])
+                    _, metrics, Genh, z = self.train_step_multi(
+                        clean, noisy, mask, rng=krun, l1_w_s=l1_w_s)
+                    clean, noisy = clean[-1], noisy[-1]  # last sub-batch: samples
+                else:
+                    if epoch >= l1_dec_epoch and l1_weight > 0:
+                        l1_weight = max(0.0, l1_weight - l1_dec_step)
+                    batch = next(stream)
+                    clean = batch["clean"][..., None]  # (B, T, 1)
+                    noisy = batch["noisy"][..., None]
+                    mask = batch.get("mask",
+                                     np.ones((clean.shape[0],), np.float32))
+                    metrics, Genh, z = self.train_step(clean, noisy, mask, krun,
+                                                       l1_weight)
+                bidx += n_sub
+                iteration += n_sub - 1  # +1 more at the bottom of the loop
                 if noisy_samples is None:
                     noisy_samples = local_host_rows(noisy, 20)
                     clean_samples = local_host_rows(clean, 20)
@@ -718,7 +758,8 @@ class SEGAN:
                         n_chips = self.mesh.devices.size if self.mesh is not None else 1
                         step_mfu = mfu(self.step_flops(), timer.last, n_chips)
                 timer.start()
-                if bidx % log_freq == 0 or bidx >= num_batches:
+                if (bidx // log_freq != prev_bidx // log_freq
+                        or bidx >= num_batches):
                     m = {k: float(v) for k, v in metrics.items()}
                     mfu_str = (f", mfu: {100 * step_mfu:.1f}%"
                                if step_mfu is not None else "")

@@ -541,6 +541,10 @@ class AEWSEGAN(WSEGAN):
         new_state, metrics, Genh, z = self._jit_step(
             self.state, clean, noisy, mask, rng, jnp.float32(l1_weight))
         self.state = new_state
+        # exemplars for step_flops() (same avals as the donated inputs)
+        self._flops_fn = self._jit_step
+        self._flops_args = (new_state, clean, noisy, mask, rng,
+                            jnp.float32(l1_weight))
         return metrics, Genh, z
 
     def train(self, cfg: SEGANConfig, dloader, criterion=None, l1_init=100.0,

@@ -146,8 +146,9 @@ class SEGANConfig:
     shuffle_buffer: int = 0
     # full train steps per dispatched program (lax.scan over stacked batches;
     # bit-equal per step). Amortizes per-dispatch overhead — measured +2% on the
-    # WSEGAN step at batch 150 (39.7 -> 40.6% MFU at 4). Honored by the WSEGAN
-    # and AEWSEGAN loops; SEGAN's epoch loop keeps single-step dispatch (+1.3%)
+    # WSEGAN step at batch 150 (39.7 -> 40.6% MFU at 4), +1.3% on SEGAN+ at
+    # batch 300. Honored by all three train loops (single-process; groups never
+    # span an epoch — the ragged tail runs single steps)
     steps_per_call: int = 1
     # collate-time cast of clean/noisy (e.g. 'bfloat16' halves H2D bytes)
     loader_dtype: Optional[str] = None

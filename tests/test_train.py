@@ -273,6 +273,22 @@ class TestWSEGANResume:
         ws.train(cfg, dl, log_freq=4)
         assert int(ws.state.step) == 9
 
+    def test_segan_loop_steps_per_call(self, tmp_path, capsys):
+        """SEGAN.train with cfg.steps_per_call=2: scanned dispatch inside the
+        epoch loop, ragged per-epoch tail as single steps, counter exact, and
+        the l1 schedule advanced once per SUB-step (same as single dispatch)."""
+        cfg = small_cfg(batch_size=2, epoch=2, save_path=str(tmp_path),
+                        no_train_gen=True, steps_per_call=2)
+        sg = SEGAN(cfg)
+        sg.init_state(batch_size=2)
+        dl = self._fake_dloader(n_batches=3)  # 3 per epoch: one 2-group + tail
+        sg.train(cfg, dl, l1_init=100.0, l1_dec_step=0.5, l1_dec_epoch=1,
+                 log_freq=2)
+        assert int(sg.state.step) == 6
+        # 6 sub-steps of decay from epoch 1 (dec_epoch=1): 100 - 6*0.5 = 97.00,
+        # printed on the epoch-2 end-of-epoch log line
+        assert "l1_w: 97.00" in capsys.readouterr().out
+
     def test_aewsegan_loop_steps_per_call(self, tmp_path):
         """AEWSEGAN.train with cfg.steps_per_call=2: scanned dispatches + ragged
         tail, counter lands exactly on the budget."""
