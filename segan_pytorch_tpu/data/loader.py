@@ -71,6 +71,7 @@ class DataLoader:
         shard_id: int = 0,
         num_shards: int = 1,
         shuffle_buffer: int = 0,
+        shuffle_buffer_mode: str = "sharded",
         emit_dtype: Optional[str] = None,
     ):
         """shard_id/num_shards: multi-host data sharding. batch_size stays the
@@ -81,13 +82,23 @@ class DataLoader:
         is bit-identical to the single-host loader's. IO shards naturally: only the
         local rows are gathered from the slice cache.
 
-        shuffle_buffer > 0 switches to STREAMING shuffle: each shard walks its
-        strided index subset (shard_id::num_shards) in order through a bounded
-        shuffle buffer of that many items — O(buffer) randomness state, mostly
-        sequential reads (corpora too large for a comfortable global shuffle).
-        The ragged tail is dropped and batches are NOT bit-identical to the
-        global-shuffle loader (each shard shuffles independently); every shard
-        still emits the same batch count, so multi-host assembly stays aligned.
+        shuffle_buffer > 0 switches to STREAMING shuffle: a bounded shuffle
+        buffer of that many items replaces the global permutation — O(buffer)
+        randomness state, mostly sequential reads (corpora too large for a
+        comfortable global shuffle). The ragged tail is dropped. Two sharding
+        modes (shuffle_buffer_mode):
+
+        - 'sharded' (default): each shard walks its strided index subset
+          (shard_id::num_shards) through its own buffer — maximally sequential
+          per-shard IO, but the assembled global batch is NOT bit-identical to
+          a single-host buffered loader (shards shuffle independently); every
+          shard still emits the same batch count, so multi-host assembly stays
+          aligned.
+        - 'global': every shard replays the SAME buffered walk over the full
+          index space (cheap — index math only) and gathers only its rows of
+          each global batch, so the assembled global batch is bit-identical to
+          the single-host buffered loader (deterministic cross-shard mode, at
+          the cost of per-shard reads no longer being stride-contiguous).
 
         emit_dtype ('bfloat16' | 'float16' | ...): cast the clean/noisy arrays
         at collate time — halves host->device bytes for bf16 training (mask and
@@ -115,11 +126,17 @@ class DataLoader:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.shuffle_buffer = int(shuffle_buffer)
+        if shuffle_buffer_mode not in ("sharded", "global"):
+            raise ValueError(f"shuffle_buffer_mode must be 'sharded' or "
+                             f"'global', got {shuffle_buffer_mode!r}")
+        self.shuffle_buffer_mode = shuffle_buffer_mode
         self.emit_dtype = np.dtype(emit_dtype) if emit_dtype else None
 
     def __len__(self):
         n = len(self.dataset)
         if self.shuffle_buffer > 0:
+            if self.shuffle_buffer_mode == "global":
+                return n // self.batch_size
             return (n // self.num_shards) // (self.batch_size // self.num_shards)
         if self.drop_last:
             return n // self.batch_size
@@ -183,9 +200,17 @@ class DataLoader:
         return batch
 
     def _buffered_indices(self):
-        """Streaming bounded-buffer shuffle over this shard's strided subset."""
+        """Streaming bounded-buffer shuffle. 'sharded': this shard's strided
+        subset into local-batch-size rows; 'global': the full index space into
+        GLOBAL-batch-size rows (every shard replays the identical walk —
+        __iter__ then slices this shard's rows)."""
         rnd = _random.Random(self.rng.random())  # new stream each epoch
-        bs_local = self.batch_size // self.num_shards
+        if self.shuffle_buffer_mode == "global":
+            seq = range(len(self.dataset))
+            emit_size = self.batch_size
+        else:
+            seq = range(self.shard_id, len(self.dataset), self.num_shards)
+            emit_size = self.batch_size // self.num_shards
         n_batches = len(self)
         buf: list = []
         out: list = []
@@ -196,11 +221,11 @@ class DataLoader:
             buf[j], buf[-1] = buf[-1], buf[j]
             return buf.pop()
 
-        for i in range(self.shard_id, len(self.dataset), self.num_shards):
+        for i in seq:
             buf.append(i)
             if len(buf) >= max(self.shuffle_buffer, 1):
                 out.append(pop_random() if self.shuffle else buf.pop(0))
-                if len(out) == bs_local:
+                if len(out) == emit_size:
                     yield out
                     out = []
                     emitted += 1
@@ -208,7 +233,7 @@ class DataLoader:
                         return
         while buf and emitted < n_batches:
             out.append(pop_random() if self.shuffle else buf.pop(0))
-            if len(out) == bs_local:
+            if len(out) == emit_size:
                 yield out
                 out = []
                 emitted += 1
@@ -217,6 +242,9 @@ class DataLoader:
         if self.shuffle_buffer > 0:
             bs_local = self.batch_size // self.num_shards
             for rows in self._buffered_indices():
+                if self.shuffle_buffer_mode == "global":
+                    rows = rows[self.shard_id * bs_local:
+                                (self.shard_id + 1) * bs_local]
                 batch = self._gather(rows)
                 batch["mask"] = np.ones((bs_local,), np.float32)
                 yield batch

@@ -144,6 +144,9 @@ class SEGANConfig:
     snr_levels: List[int] = field(default_factory=lambda: [0, 5, 10])
     # streaming bounded-buffer shuffle (data/loader.py); 0 = global shuffle
     shuffle_buffer: int = 0
+    # 'sharded' (independent per-shard buffers, most sequential IO) or 'global'
+    # (deterministic cross-shard: assembled batches == single-host loader)
+    shuffle_buffer_mode: str = "sharded"
     # full train steps per dispatched program (lax.scan over stacked batches;
     # bit-equal per step). Amortizes per-dispatch overhead — measured +2% on the
     # WSEGAN step at batch 150 (39.7 -> 40.6% MFU at 4), +1.3% on SEGAN+ at

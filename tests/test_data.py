@@ -175,6 +175,36 @@ class TestLoaderModes:
                         shuffle_buffer=3, shard_id=1, num_shards=2)
         assert len(d0) == len(d1)
 
+    def test_shuffle_buffer_global_mode_cross_shard_deterministic(
+            self, wav_dirs, tmp_path):
+        """shuffle_buffer_mode='global': the row-concatenation of the shards'
+        batches is bit-identical to the single-host buffered loader (every
+        shard replays the same buffered walk and slices its rows)."""
+        from segan_pytorch_tpu.data import SEDataset, DataLoader
+
+        clean_d, noisy_d, _ = wav_dirs
+        ds = SEDataset(clean_d, noisy_d, 0.95, cache_dir=str(tmp_path / "sbg"),
+                       slice_size=16384, stride=0.5)
+        ref = list(DataLoader(ds, batch_size=2, shuffle=True, seed=3,
+                              shuffle_buffer=3, shuffle_buffer_mode="global"))
+        shards = [list(DataLoader(ds, batch_size=2, shuffle=True, seed=3,
+                                  shuffle_buffer=3,
+                                  shuffle_buffer_mode="global",
+                                  shard_id=s, num_shards=2))
+                  for s in range(2)]
+        assert len(shards[0]) == len(shards[1]) == len(ref)
+        for r, b0, b1 in zip(ref, *shards):
+            np.testing.assert_array_equal(
+                r["clean"], np.concatenate([b0["clean"], b1["clean"]], axis=0))
+            np.testing.assert_array_equal(
+                r["noisy"], np.concatenate([b0["noisy"], b1["noisy"]], axis=0))
+            assert r["uttname"] == b0["uttname"] + b1["uttname"]
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            DataLoader(ds, batch_size=2, shuffle_buffer=3,
+                       shuffle_buffer_mode="bogus")
+
     def test_emit_dtype_bf16(self, wav_dirs, tmp_path):
         import jax.numpy as jnp
 

@@ -114,6 +114,12 @@ def build_parser():
                              'slices per shard instead of a global shuffle '
                              '(corpora too large for a global index; drops the '
                              'ragged tail).')
+    parser.add_argument('--shuffle_buffer_mode', type=str, default='sharded',
+                        choices=['sharded', 'global'],
+                        help="'sharded': independent per-shard buffers (most "
+                             "sequential IO); 'global': every shard replays one "
+                             "buffered walk and takes its rows — assembled "
+                             "batches bit-identical to single-host.")
     parser.add_argument('--loader_dtype', type=str, default=None,
                         help="Cast clean/noisy at collate time (e.g. 'bfloat16' "
                              'to halve host->device bytes under bf16 compute).')
@@ -208,6 +214,8 @@ def main(cfg):
                          shard_id=jax.process_index(),
                          num_shards=jax.process_count(),
                          shuffle_buffer=getattr(cfg, 'shuffle_buffer', 0),
+                         shuffle_buffer_mode=getattr(cfg, 'shuffle_buffer_mode',
+                                                     'sharded'),
                          emit_dtype=getattr(cfg, 'loader_dtype', None))
     if cfg.clean_valset is not None:
         if cfg.h5:
