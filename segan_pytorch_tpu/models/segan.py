@@ -574,6 +574,22 @@ class SEGAN:
         self._flops_args = (new_state, stacked, rng, l1_arr)
         return metrics_s, metrics, Genh, z
 
+    @staticmethod
+    def _stack_group(batches, extra_keys=()):
+        """Stack a list of loader batches into the (S, B, ...) arrays the
+        multi-step program consumes (clean/noisy gain the channel dim, mask
+        falls back to all-ones); extra_keys stacks additional per-row fields
+        (e.g. WSEGAN's additive_mask)."""
+        clean = jnp.stack([b["clean"][..., None] for b in batches])
+        noisy = jnp.stack([b["noisy"][..., None] for b in batches])
+        mask = jnp.stack([
+            jnp.asarray(b.get("mask", np.ones((b["clean"].shape[0],),
+                                              np.float32)))
+            for b in batches])
+        extras = tuple(jnp.stack([jnp.asarray(b[k]) for b in batches])
+                       for k in extra_keys)
+        return (clean, noisy, mask) + extras
+
     def _shard_batch_multi(self, *arrays):
         if self.mesh is None:
             return arrays
@@ -709,13 +725,7 @@ class SEGAN:
                         if epoch >= l1_dec_epoch and l1_weight > 0:
                             l1_weight = max(0.0, l1_weight - l1_dec_step)
                         l1_w_s.append(l1_weight)
-                    clean = jnp.stack([b["clean"][..., None] for b in batches])
-                    noisy = jnp.stack([b["noisy"][..., None] for b in batches])
-                    mask = jnp.stack([
-                        jnp.asarray(b.get("mask",
-                                          np.ones((b["clean"].shape[0],),
-                                                  np.float32)))
-                        for b in batches])
+                    clean, noisy, mask = self._stack_group(batches)
                     _, metrics, Genh, z = self.train_step_multi(
                         clean, noisy, mask, rng=krun, l1_w_s=l1_w_s)
                     clean, noisy = clean[-1], noisy[-1]  # last sub-batch: samples

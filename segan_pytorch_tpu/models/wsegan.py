@@ -321,21 +321,17 @@ class WSEGAN(SEGAN):
         iteration = start_iter
         while iteration < total_iters:
             prev_iteration = iteration
-            # the scanned program is fixed at S steps: full groups go through it,
-            # the ragged tail falls back to single-step dispatches
-            n_sub = S if total_iters - iteration >= S else 1
+            # the scanned program is fixed at S steps: full groups go through
+            # it, the ragged tail falls back to single-step dispatches. Groups
+            # never cross an epoch boundary, so the EOE checkpoint/eval cadence
+            # (crossed(num_batches)) is step-exact
+            to_epoch_end = num_batches - (iteration % num_batches)
+            n_sub = S if min(total_iters - iteration, to_epoch_end) >= S else 1
             rng, krun = jax.random.split(rng)
             if n_sub > 1:
                 batches = [next(stream) for _ in range(n_sub)]
-                clean = jnp.stack([b["clean"][..., None] for b in batches])
-                noisy = jnp.stack([b["noisy"][..., None] for b in batches])
-                mask = jnp.stack([
-                    jnp.asarray(b.get("mask",
-                                      np.ones((b["clean"].shape[0],),
-                                              np.float32)))
-                    for b in batches])
-                amask = jnp.stack([jnp.asarray(b["additive_mask"])
-                                   for b in batches])
+                clean, noisy, mask, amask = self._stack_group(
+                    batches, extra_keys=("additive_mask",))
                 _, metrics, Genh, z = self.train_step_multi(
                     clean, noisy, mask, amask, rng=krun,
                     l1_w_s=[l1_weight] * n_sub)
@@ -590,17 +586,13 @@ class AEWSEGAN(WSEGAN):
         iteration = start_iter
         while iteration < total_iters:
             prev_iteration = iteration
-            n_sub = S if total_iters - iteration >= S else 1
+            # epoch-aligned groups, same rule as WSEGAN.train above
+            to_epoch_end = num_batches - (iteration % num_batches)
+            n_sub = S if min(total_iters - iteration, to_epoch_end) >= S else 1
             rng, krun = jax.random.split(rng)
             if n_sub > 1:
                 batches = [next(stream) for _ in range(n_sub)]
-                clean = jnp.stack([b["clean"][..., None] for b in batches])
-                noisy = jnp.stack([b["noisy"][..., None] for b in batches])
-                mask = jnp.stack([
-                    jnp.asarray(b.get("mask",
-                                      np.ones((b["clean"].shape[0],),
-                                              np.float32)))
-                    for b in batches])
+                clean, noisy, mask = self._stack_group(batches)
                 _, metrics, Genh, z = self.train_step_multi(
                     clean, noisy, mask, rng=krun, l1_w_s=[l1_init] * n_sub)
                 clean, noisy = clean[-1], noisy[-1]  # last sub-batch for samples

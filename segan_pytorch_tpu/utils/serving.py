@@ -124,14 +124,19 @@ class MicroBatcher:
         return max(self.min_batch_chunks, min(self.max_batch_chunks, fit))
 
     def _drain_locked(self) -> List[_Job]:
-        """Take queued jobs up to the chunk budget (called with the lock)."""
+        """Take queued jobs up to the chunk budget (called with the lock).
+
+        The budget is enforced on the POST-padding row count (_process pads the
+        combined grid to a pow2 bucket, and the latency EMA is measured per
+        padded row) — otherwise a pass admitted at `budget` raw chunks could pad
+        up to ~2x past the latency target."""
         S = self.segan.cfg.slice_size
         budget = self.effective_max_chunks
         jobs, total = [], 0
         while self._queue:
             j = self._queue[0]
             n = max(1, -(-len(j.pwav) // S))
-            if jobs and total + n > budget:
+            if jobs and _bucket_pow2(total + n) > budget:
                 break
             jobs.append(self._queue.pop(0))
             total += n

@@ -195,6 +195,24 @@ def make_handler(cfg, segan, state):
             self.end_headers()
             self.wfile.write(body)
 
+        def _drain_input_bounded(self, max_bytes=8 * 1024 * 1024,
+                                 timeout_s=2.0):
+            """Discard up to max_bytes of pending request body (short socket
+            timeout). Closing with unread data in the kernel buffer makes Linux
+            send RST, which can drop the already-written response; a bounded
+            drain avoids that for reasonably-sized tails without letting a
+            hostile client stream forever."""
+            try:
+                self.connection.settimeout(timeout_s)
+                left = max_bytes
+                while left > 0:
+                    got = self.rfile.read(min(left, 65536))
+                    if not got:
+                        break
+                    left -= len(got)
+            except (OSError, ValueError):
+                pass
+
         # ---- streaming: raw PCM16 in (chunked or sized), chunked PCM16 out ----
         def _incoming_pieces(self, chunked):
             if chunked:
@@ -256,37 +274,51 @@ def make_handler(cfg, segan, state):
             self.send_header("X-Stream-Latency-Samples",
                              str(streamer.latency_samples))
             self.end_headers()
+            # a silent client must not pin this handler thread forever: the
+            # session guard below only runs when a piece ARRIVES, so bound the
+            # blocking reads themselves with a socket timeout
+            if max_stream_s > 0:
+                self.connection.settimeout(min(60.0, max_stream_s))
             carry = b""
             t0 = time.perf_counter()
             n_out = 0
             truncated = False
             try:
-                for piece in self._incoming_pieces(chunked):
-                    if max_stream_s > 0 and \
-                            time.perf_counter() - t0 > max_stream_s:
-                        # session guard: stop consuming input, finalize what was
-                        # fed, and drop the connection (unread body remains, so
-                        # keep-alive reuse would misparse it)
-                        truncated = True
-                        break
-                    carry += piece
-                    usable = len(carry) - (len(carry) % 2)
-                    if not usable:
-                        continue
-                    pcm = np.frombuffer(carry[:usable], dtype="<i2")
-                    carry = carry[usable:]
-                    out = streamer.feed(
-                        np.asarray(normalize_wave_minmax(pcm), np.float32))
-                    pcm_out = np.clip(out * 32767.0, -32768,
-                                      32767).astype("<i2")
-                    n_out += pcm_out.size
-                    self._write_chunk(pcm_out.tobytes())
+                try:
+                    for piece in self._incoming_pieces(chunked):
+                        if max_stream_s > 0 and \
+                                time.perf_counter() - t0 > max_stream_s:
+                            # session guard: stop consuming input, finalize what
+                            # was fed, and drop the connection (unread body
+                            # remains, so keep-alive reuse would misparse it)
+                            truncated = True
+                            break
+                        carry += piece
+                        usable = len(carry) - (len(carry) % 2)
+                        if not usable:
+                            continue
+                        pcm = np.frombuffer(carry[:usable], dtype="<i2")
+                        carry = carry[usable:]
+                        out = streamer.feed(
+                            np.asarray(normalize_wave_minmax(pcm), np.float32))
+                        pcm_out = np.clip(out * 32767.0, -32768,
+                                          32767).astype("<i2")
+                        n_out += pcm_out.size
+                        self._write_chunk(pcm_out.tobytes())
+                except TimeoutError:
+                    # silent client: no data within the socket timeout —
+                    # finalize what was fed, like a session-cap truncation
+                    truncated = True
                 out = streamer.flush()
                 pcm_out = np.clip(out * 32767.0, -32768, 32767).astype("<i2")
                 n_out += pcm_out.size
                 self._write_chunk(pcm_out.tobytes())
                 self.wfile.write(b"0\r\n\r\n")
                 if truncated:
+                    # best effort against a TCP RST racing the final chunks:
+                    # briefly drain what the client already sent so the close
+                    # doesn't discard our written-but-unread response
+                    self._drain_input_bounded()
                     self.close_connection = True
                 state["requests"] += 1
                 if state["verbose"]:
@@ -295,9 +327,11 @@ def make_handler(cfg, segan, state):
                           f"(window {window}, overlap {overlap}"
                           f"{', TRUNCATED at session limit' if truncated else ''})",
                           flush=True)
-            except (ValueError, ConnectionError, BrokenPipeError) as e:
-                # mid-stream failure: the only safe recovery is dropping the
-                # connection (headers are already out)
+            except (ValueError, ConnectionError, BrokenPipeError,
+                    TimeoutError) as e:
+                # mid-stream failure (bad framing, client gone, or a write
+                # stalled past the socket timeout): the only safe recovery is
+                # dropping the connection (headers are already out)
                 if state["verbose"]:
                     print(f"[serve] stream aborted: {e}", flush=True)
                 self.close_connection = True

@@ -207,16 +207,38 @@ class TestServeStreaming:
                                         "&overlap=0")
                 conn.putheader("Transfer-Encoding", "chunked")
                 conn.endheaders()
-                half = len(pcm) // 2
-                conn.send(f"{half:x}\r\n".encode() + pcm[:half] + b"\r\n")
-                time.sleep(1.6)  # outlive the 1.0 s session cap
-                rest = pcm[half:]
-                conn.send(f"{len(rest):x}\r\n".encode() + rest + b"\r\n")
+                # continuous slow feed outliving the 1.0 s cap: 20 pieces over
+                # ~2 s; the server truncates mid-stream and bounded-drains the
+                # tail, so every send lands on an open socket
+                piece_len = len(pcm) // 20
+                for i in range(20):
+                    p = pcm[i * piece_len:(i + 1) * piece_len]
+                    conn.send(f"{len(p):x}\r\n".encode() + p + b"\r\n")
+                    time.sleep(0.1)
                 conn.send(b"0\r\n\r\n")
                 resp = conn.getresponse()
                 assert resp.status == 200
                 out = np.frombuffer(resp.read(), dtype="<i2")
-                # only the pre-cap half was enhanced
+                # truncated: some but not all of the input was enhanced
+                assert 0 < out.size < n, out.size
+            finally:
+                conn.close()
+
+            # silent client: one chunk then nothing — the socket read timeout
+            # (min(60, max_stream_seconds)) must finalize the session instead
+            # of pinning the handler thread forever
+            conn = http.client.HTTPConnection(host, timeout=120)
+            try:
+                conn.putrequest("POST", "/enhance_stream?seed=1&window=1024"
+                                        "&overlap=0")
+                conn.putheader("Transfer-Encoding", "chunked")
+                conn.endheaders()
+                half = len(pcm) // 2
+                conn.send(f"{half:x}\r\n".encode() + pcm[:half] + b"\r\n")
+                # no terminal chunk, no more data
+                resp = conn.getresponse()
+                assert resp.status == 200
+                out = np.frombuffer(resp.read(), dtype="<i2")
                 assert out.size == n // 2, out.size
             finally:
                 conn.close()

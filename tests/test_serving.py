@@ -88,6 +88,23 @@ class TestMicroBatcher:
             assert batcher.effective_max_chunks == 8
             batcher._sec_per_chunk = 1e-6   # instant device -> hard cap
             assert batcher.effective_max_chunks == 64
+            # the drain budget binds on the POST-padding (pow2-bucketed) row
+            # count: at budget 50, admitting past 32 raw chunks would pad to
+            # the 64-row bucket and overshoot the latency target
+            from segan_pytorch_tpu.utils.serving import _Job
+
+            batcher._sec_per_chunk = 0.01   # fit = 50
+            one_chunk = np.zeros((16,), np.float32)
+            with batcher._cv:
+                batcher._queue.extend(_Job(one_chunk, None, 0.0)
+                                      for _ in range(60))
+                taken = batcher._drain_locked()
+                rest = len(batcher._queue)
+                batcher._queue.clear()
+            assert len(taken) == 32, len(taken)
+            assert rest == 28
+            for j in taken:   # don't leave the worker waiting on drained jobs
+                j.event.set()
         finally:
             batcher.close()
 

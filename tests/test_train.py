@@ -300,6 +300,24 @@ class TestWSEGANResume:
         ae.train(cfg, dl, log_freq=4)
         assert int(ae.state.step) == 9
 
+    def test_steps_per_call_groups_never_cross_epochs(self, tmp_path):
+        """S larger than an epoch (S=4, 2 batches/epoch): groups align to
+        epoch boundaries, so EVERY epoch still gets its EOE checkpoint at the
+        exact step count (not shifted into the next epoch or skipped)."""
+        import os
+
+        cfg = small_cfg(wsegan=True, batch_size=2, epoch=2,
+                        save_path=str(tmp_path), no_train_gen=True,
+                        steps_per_call=4)
+        ws = WSEGAN(cfg)
+        ws.init_state(batch_size=2)
+        dl = self._fake_dloader(n_batches=2)  # budget 4; epochs end at 2, 4
+        ws.train(cfg, dl, log_freq=10)
+        assert int(ws.state.step) == 4
+        names = sorted(os.listdir(tmp_path))
+        assert any("EOE_G-Generator-2" in n for n in names), names
+        assert any("EOE_G-Generator-4" in n for n in names), names
+
     def test_resumed_wsegan_runs_only_remaining_iters(self, tmp_path, monkeypatch):
         """After restoring state.step=k, WSEGAN.train must execute exactly
         epoch*num_batches - k steps (remaining budget), not the full budget."""
