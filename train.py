@@ -105,7 +105,7 @@ def build_parser():
     parser.add_argument('--steps_per_call', type=int, default=1,
                         help='Train steps per dispatched program (lax.scan; '
                              'bit-equal per step). All engines; single-process. '
-                             'Measured +2% (WSEGAN b150) / +1.3% (SEGAN+ b300).')
+                             'Measured +2%% (WSEGAN b150) / +1.3%% (SEGAN+ b300).')
     parser.add_argument('--io_threads', type=int, default=0,
                         help='Native wav-gather thread-pool size '
                              '(0 = hardware concurrency).')
