@@ -14,7 +14,11 @@ import numpy as np
 
 _LIB = None
 _TRIED = False
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+# Resolves to <repo>/native in a source checkout; SEGAN_TPU_NATIVE_DIR overrides
+# for installs where the package doesn't live next to the native sources.
+_NATIVE_DIR = os.environ.get(
+    "SEGAN_TPU_NATIVE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", "..", "native"))
 
 
 def _build() -> Optional[str]:
