@@ -1,4 +1,5 @@
-from .mesh import make_mesh, initialize_distributed  # noqa: F401
+from .mesh import (make_mesh, initialize_distributed, shutdown_distributed,  # noqa: F401
+                   distributed_barrier)
 from .sharding import (  # noqa: F401
     replicate,
     shard_batch,

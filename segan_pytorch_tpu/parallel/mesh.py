@@ -38,6 +38,39 @@ def initialize_distributed(coordinator: Optional[str] = None,
     )
 
 
+def distributed_barrier(name: str, timeout_s: float = 240.0):
+    """Coordination-service barrier (no-op single-process).
+
+    Unlike collective-based sync (psum/allgather), this rides the gRPC
+    coordination service with a CONFIGURABLE timeout — use it to align
+    processes BEFORE the first collective dispatch: gloo's context-creation
+    key-value wait is a hard 30 s, and per-process bring-up skew (imports,
+    device init, AOT compiles) can exceed it on loaded hosts, failing the
+    job with "Gloo context initialization ... GetKeyValue() timed out"."""
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed as _dist
+    client = getattr(_dist.global_state, "client", None)
+    if client is not None:
+        client.wait_at_barrier(name, int(timeout_s * 1000))
+
+
+def shutdown_distributed():
+    """Explicit synchronized jax.distributed shutdown (no-op single-process).
+
+    Call this right after the last collective work (end of training), while
+    every process is still in lockstep: the atexit shutdown barrier has a hard
+    ~30 s deadline, and on loaded hosts a straggler's interpreter TEARDOWN
+    (GC of device arrays, cache flush) can exceed it — killing the whole job
+    with "Shutdown barrier timed out" after all real work already succeeded."""
+    if jax.process_count() <= 1:
+        return
+    try:
+        jax.distributed.shutdown()
+    except Exception as e:  # already shut down / never initialized
+        print(f"[multi-host] distributed shutdown: {e}")
+
+
 def make_mesh(dp: Optional[int] = None, axis_names: Sequence[str] = ("data",),
               devices=None) -> Mesh:
     """Build a 1-D data mesh over `dp` devices (default: all)."""

@@ -64,6 +64,13 @@ segan._jit_step.lower(segan.state, _cg, _cg, _mg, jax.random.PRNGKey(0),
                       jnp.float32(100.0)).compile()
 print("precompiled", pid, flush=True)
 
+# Align first-dispatch arrivals via the coordination service (configurable
+# timeout, no gloo): even with the AOT precompile above, per-process bring-up
+# skew on a loaded single-core box can exceed gloo's hard 30 s context-creation
+# KV wait at the first collective dispatch. Same helper train.py uses.
+from segan_pytorch_tpu.parallel import distributed_barrier
+distributed_barrier("mh_first_dispatch", 240.0)
+
 # deterministic GLOBAL batch; every process slices out its own local shard
 rng = np.random.RandomState(0)
 t = np.arange(1024) / 16000.0
@@ -151,6 +158,15 @@ assert len(evals["ssnr"]) == len(EvalDS()), {k: len(v) for k, v in evals.items()
 segan.close_pool()
 means = " ".join(f"{k}={float(np.mean(v)):.6f}" for k, v in sorted(evals.items()))
 print("MHEVAL", pid, means, flush=True)
+
+# Explicit shutdown at a point where all processes are still in lockstep (the
+# evaluate() allgather just synced them): the atexit shutdown barrier has a
+# hard 30 s deadline, and on a loaded single-core box a straggler's interpreter
+# TEARDOWN (GC of device arrays, cache flush) can exceed it, killing the whole
+# grid with "Shutdown barrier timed out" after every phase already passed.
+# Same helper train.py calls at the end of a multi-host run.
+from segan_pytorch_tpu.parallel import shutdown_distributed
+shutdown_distributed()
 """
 
 

@@ -233,8 +233,20 @@ def main(cfg):
                                 num_workers=cfg.num_workers, seed=cfg.seed)
     else:
         va_dloader = None
+    # align first-dispatch arrivals across processes (no-op single-process):
+    # gloo's context-creation KV wait is a hard 30 s and bring-up skew
+    # (dataset scans, compiles) can exceed it on heterogeneous hosts
+    from segan_pytorch_tpu.parallel import distributed_barrier
+    distributed_barrier("train_start")
+
     segan.train(cfg, dloader, None, cfg.l1_weight, cfg.l1_dec_step, cfg.l1_dec_epoch,
                 cfg.save_freq, va_dloader=va_dloader)
+
+    # synchronized distributed shutdown while all processes are in lockstep —
+    # the implicit atexit barrier's 30 s deadline can miss a straggler's
+    # interpreter teardown and kill an otherwise-successful multi-host job
+    from segan_pytorch_tpu.parallel import shutdown_distributed
+    shutdown_distributed()
 
 
 if __name__ == '__main__':
