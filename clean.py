@@ -41,6 +41,35 @@ def main(opts):
         else:
             twavs = opts.test_files
     print('Cleaning {} wavs'.format(len(twavs)))
+
+    def _write(out_path, g_wav):
+        if opts.soundfile:
+            write_wav(out_path, g_wav, 16000, subtype='pcm16')
+        else:
+            write_wav(out_path, g_wav, 16000, subtype='float')
+
+    B = max(1, int(getattr(opts, 'batch_utts', 1)))
+    if B > 1 and not opts.h5 and not cfg.wsegan:
+        # throughput mode: B utterances' chunk grids become ONE device batch
+        # (SEGAN.generate_batch); equals the sequential loop below to 1 ulp
+        beg_t = timeit.default_timer()
+        for lo in range(0, len(twavs), B):
+            group = twavs[lo: lo + B]
+            wavs, names = [], []
+            for twav in group:
+                rate, wav = read_wav_raw(twav)
+                wav = np.asarray(normalize_wave_minmax(np.asarray(wav)))
+                wavs.append(pre_emphasize_np(wav, cfg.preemph))
+                names.append(os.path.basename(twav))
+            for tbname, (g_wav, _) in zip(
+                    names, segan.generate_batch(wavs, overlap=opts.overlap)):
+                _write(os.path.join(opts.synthesis_path, tbname), g_wav)
+            end_t = timeit.default_timer()
+            print('Cleaned {}/{} (batch of {}) in {} s'.format(
+                min(lo + B, len(twavs)), len(twavs), len(group), end_t - beg_t))
+            beg_t = timeit.default_timer()
+        return
+
     beg_t = timeit.default_timer()
     for t_i, twav in enumerate(twavs, start=1):
         if not opts.h5:
@@ -74,6 +103,11 @@ if __name__ == '__main__':
                              'overlapping enhanced chunks (hann overlap-add) '
                              'instead of hard chunk boundaries; 0 = '
                              'reference-exact concatenation')
+    parser.add_argument('--batch_utts', type=int, default=1,
+                        help='>1: enhance this many utterances per device pass '
+                             '(their chunk grids concatenate into ONE batch; '
+                             'output equals sequential to 1 ulp). SEGAN only; '
+                             'throughput mode for large offline jobs.')
     parser.add_argument('--synthesis_path', type=str, default='segan_samples')
     parser.add_argument('--soundfile', action='store_true', default=False,
                         help='Write PCM16 wavs (like the ref soundfile path, clean.py:76)')

@@ -489,6 +489,91 @@ class SEGAN:
         g_c = np.asarray(hall[f"enc_{max(int(k.split('_')[1]) for k in enc_keys)}"])
         return c_res, g_c[:n_chunks]
 
+    def generate_batch(self, inwavs, chunk_buckets: bool = True,
+                       rng=None, overlap: float = 0.0):
+        """Enhance MANY (normalized + pre-emphasized) waveforms in ONE device pass.
+
+        TPU-native throughput mode for offline enhancement (clean.py
+        --batch_utts): all utterances' chunk grids concatenate into a single
+        device batch, so short utterances (1-2 chunks each) no longer starve
+        the MXU one tiny pass at a time — the reference has no equivalent
+        (its loop is one chunk at a time, ref model.py:116-157).
+
+        Per-utterance z freshness matches sequential generate(): the i-th
+        utterance consumes the i-th draw of the same per-model PRNG stream and
+        all of its chunks share that z row, so outputs equal N sequential
+        generate() calls to 1 fp32 ulp (the generator is row-independent in
+        eval mode; XLA's fusion plan — hence rounding — depends on the batch
+        shape; asserted in tests/test_networks.py).  Returns a list of
+        (enhanced_wav, g_c) like N generate() results.
+        """
+        if not 0.0 <= overlap < 0.5:
+            raise ValueError(f"overlap must be in [0, 0.5), got {overlap}")
+        if rng is None:
+            if self._gen_rng is None:
+                self._gen_rng = jax.random.PRNGKey(self.cfg.seed)
+        N = self.cfg.slice_size
+        rows, spans, metas, z_rows = [], [], [], []
+        for inwav in inwavs:
+            wav = np.asarray(inwav, np.float32).reshape(-1)
+            T = wav.shape[0]
+            if overlap > 0:
+                from ..parallel.inference import chunk_grid
+
+                grid, hop, n_chunks = chunk_grid(wav, N, overlap)
+                x = grid
+            else:
+                hop = N
+                n_chunks = -(-T // N)
+                x = np.zeros((n_chunks * N,), np.float32)
+                x[:T] = wav
+                x = x.reshape(n_chunks, N, 1)
+            spans.append(n_chunks)
+            metas.append((T, hop))
+            rows.append(x)
+            if not self.G.no_z:
+                if rng is None:
+                    self._gen_rng, k = jax.random.split(self._gen_rng)
+                else:
+                    rng, k = jax.random.split(rng)
+                zrow = np.asarray(self.G.sample_z(k, (1, N, 1)))
+                z_rows.append(np.tile(zrow, (n_chunks, 1, 1)))
+        total = sum(spans)
+        n_padded = total
+        if chunk_buckets and total > 1:
+            n_padded = 1 << (total - 1).bit_length()
+        x_all = np.concatenate(rows, axis=0)
+        if n_padded > total:
+            x_all = np.concatenate(
+                [x_all, np.zeros((n_padded - total, N, 1), np.float32)], axis=0)
+        if not self.G.no_z:
+            z_all = np.concatenate(z_rows, axis=0)
+            if n_padded > total:
+                z_all = np.concatenate(
+                    [z_all, np.tile(z_all[-1:], (n_padded - total, 1, 1))], axis=0)
+            zb = jnp.asarray(z_all)
+        else:
+            zb = None
+        out, hall = self._gfwd_jit()(self.state.g_params, self.state.g_vars,
+                                     jnp.asarray(x_all), zb)
+        out = np.asarray(out)
+        enc_keys = [k for k in hall.keys() if k.startswith("enc_") and "zc" not in k]
+        g_c_all = np.asarray(
+            hall[f"enc_{max(int(k.split('_')[1]) for k in enc_keys)}"])
+        results, pos = [], 0
+        for (T, hop), n_chunks in zip(metas, spans):
+            chunk_out = out[pos: pos + n_chunks]
+            if overlap > 0:
+                from ..parallel.inference import overlap_add
+
+                c_res = overlap_add(chunk_out, hop, T)
+            else:
+                c_res = chunk_out.reshape(-1)[:T]
+            results.append((de_emphasize_np(c_res, self.preemph),
+                            g_c_all[pos: pos + n_chunks]))
+            pos += n_chunks
+        return results
+
     def discriminate(self, cwav, nwav, rng=None):
         d_in = jnp.concatenate([cwav, nwav], axis=-1)
         # the reference rolls the phase shift in eval too (discriminator.py:160-172)

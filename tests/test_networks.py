@@ -232,3 +232,41 @@ class TestTorchCkptConversion:
         assert "enc_blocks_0" in loaded["params"]
         assert "dec_blocks_0" in loaded["params"]
         assert "deconv" in loaded["params"]["dec_blocks_0"]
+
+
+class TestGenerateBatch:
+    """generate_batch == N sequential generate() calls: same PRNG stream order
+    (the i-th utterance consumes the i-th z draw), generator row-independent in
+    eval mode, padding rows inert. Equality is to 1 fp32 ulp — XLA's fusion
+    plan (and thus rounding) legitimately depends on the batch shape."""
+
+    def _engine(self, seed=3):
+        from segan_pytorch_tpu.models import SEGAN
+        cfg = small_cfg(batch_size=1)
+        segan = SEGAN(cfg)
+        segan.init_state(jax.random.PRNGKey(0), batch_size=1)
+        segan._gen_rng = jax.random.PRNGKey(seed)
+        return segan
+
+    @pytest.mark.parametrize("overlap", [0.0, 0.25])
+    def test_matches_sequential(self, overlap):
+        rng = np.random.RandomState(11)
+        wavs = [rng.randn(n).astype(np.float32) * 0.3
+                for n in (1500, 5000, 1024)]
+        seq_engine = self._engine()
+        seq = [seq_engine.generate(w, overlap=overlap) for w in wavs]
+        bat_engine = self._engine()
+        bat = bat_engine.generate_batch(wavs, overlap=overlap)
+        assert len(bat) == len(seq)
+        for (sw, sc), (bw, bc) in zip(seq, bat):
+            np.testing.assert_allclose(sw, bw, atol=1e-6, rtol=0)
+            np.testing.assert_allclose(sc, bc, atol=1e-5, rtol=0)
+
+    def test_no_z_config(self):
+        from segan_pytorch_tpu.models import SEGAN
+        cfg = small_cfg(batch_size=1, no_z=True)
+        segan = SEGAN(cfg)
+        segan.init_state(jax.random.PRNGKey(0), batch_size=1)
+        wavs = [np.zeros((2000,), np.float32), np.ones((900,), np.float32) * .1]
+        outs = segan.generate_batch(wavs)
+        assert [o[0].shape[0] for o in outs] == [2000, 900]
