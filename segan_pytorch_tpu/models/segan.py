@@ -509,6 +509,8 @@ class SEGAN:
         """
         if not 0.0 <= overlap < 0.5:
             raise ValueError(f"overlap must be in [0, 0.5), got {overlap}")
+        if not inwavs:
+            return []
         if rng is None:
             if self._gen_rng is None:
                 self._gen_rng = jax.random.PRNGKey(self.cfg.seed)

@@ -262,6 +262,12 @@ class TestGenerateBatch:
             np.testing.assert_allclose(sw, bw, atol=1e-6, rtol=0)
             np.testing.assert_allclose(sc, bc, atol=1e-5, rtol=0)
 
+    def test_empty_list(self):
+        # clean.py --batch_utts flushes a possibly-empty tail group; an empty
+        # input must not touch the PRNG stream or the device.
+        segan = self._engine()
+        assert segan.generate_batch([]) == []
+
     def test_no_z_config(self):
         from segan_pytorch_tpu.models import SEGAN
         cfg = small_cfg(batch_size=1, no_z=True)
