@@ -34,13 +34,23 @@ is finalized from the audio fed so far and the connection closed);
 --target_batch_seconds adapts the MicroBatcher's chunk budget to measured
 warm-batch device latency so one coalesced pass stays under the target.
 
+Deployment: --auth_token (or $SEGAN_SERVE_TOKEN) gates the enhancement
+endpoints behind 'Authorization: Bearer <token>' (/healthz stays open for
+load-balancer probes); --tls_cert/--tls_key serve HTTPS with the handshake
+deferred to handler threads; SIGTERM/SIGINT triggers a graceful drain (stop
+accepting, finish in-flight requests up to --drain_seconds, exit 0 — composes
+with the trainer's preemption-safe SIGTERM checkpointing for full-stack
+preemption hygiene).
+
 Usage:
     python serve.py --g_pretrained_ckpt ckpt/weights_EOE_G-Generator-N.ckpt \
         --cfg_file ckpt/train.opts --port 8080
 """
 import argparse
+import hmac
 import io
 import json
+import signal
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -49,6 +59,29 @@ from urllib.parse import unquote
 # ~1 hour of 16 kHz float64 audio as a WAV body — far above any sane request,
 # far below anything that could wedge the host allocator
 MAX_BODY_BYTES = 512 * 1024 * 1024
+
+
+class InflightCounter:
+    """Counts requests currently being handled, so a SIGTERM drain can wait
+    for work in flight instead of cutting device passes mid-response."""
+
+    def __init__(self):
+        self._n = 0
+        self._lock = threading.Lock()
+
+    def __enter__(self):
+        with self._lock:
+            self._n += 1
+        return self
+
+    def __exit__(self, *exc):
+        with self._lock:
+            self._n -= 1
+        return False
+
+    def count(self):
+        with self._lock:
+            return self._n
 
 
 def _as_int16(wav):
@@ -87,6 +120,8 @@ def make_handler(cfg, segan, state):
         target_batch_seconds=state.get("target_batch_seconds", 0.0))
     state["batcher"] = batcher
     max_stream_s = float(state.get("max_stream_seconds", 0.0))
+    auth_token = state.get("auth_token") or ""
+    inflight = state["inflight"]
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -95,25 +130,41 @@ def make_handler(cfg, segan, state):
             if state["verbose"]:
                 BaseHTTPRequestHandler.log_message(self, fmt, *args)
 
-        def _json(self, code, obj):
+        def _json(self, code, obj, extra_headers=()):
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in extra_headers:
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
+
+        def _authorized(self):
+            """Bearer-token gate for the enhancement endpoints. /healthz stays
+            open (load balancers probe it unauthenticated). Constant-time
+            compare; an unauthorized request's body is never read (hostile
+            clients don't get to stream 512 MB before the 401), so the
+            connection must close."""
+            if not auth_token:
+                return True
+            header = self.headers.get("Authorization", "")
+            return (header.startswith("Bearer ")
+                    and hmac.compare_digest(header[7:], auth_token))
 
         def do_GET(self):
             if self.path.split("?")[0] != "/healthz":
                 return self._json(404, {"error": "unknown path"})
             self._json(200, {
-                "status": "ok",
+                "status": "draining" if state.get("draining") else "ok",
                 "model": "WSEGAN" if cfg.wsegan else "SEGAN",
                 "slice_size": cfg.slice_size,
                 "warm_s": state["warm_s"],
                 "requests": state["requests"],
                 "batches": batcher.batches,
                 "batch_chunk_budget": batcher.effective_max_chunks,
+                "inflight": inflight.count(),
+                "auth": bool(auth_token),
             })
 
         def _params(self):
@@ -126,6 +177,15 @@ def make_handler(cfg, segan, state):
             return params
 
         def do_POST(self):
+            if not self._authorized():
+                self.close_connection = True  # body unread; can't keep-alive
+                return self._json(
+                    401, {"error": "unauthorized"},
+                    extra_headers=[("WWW-Authenticate", "Bearer")])
+            with inflight:
+                return self._do_post()
+
+        def _do_post(self):
             path, _, _ = self.path.partition("?")
             chunked = "chunked" in (self.headers.get("Transfer-Encoding")
                                     or "").lower()
@@ -357,18 +417,38 @@ def main():
                    help=">0: adapt the MicroBatcher chunk budget so one "
                         "coalesced device pass stays under this latency "
                         "(measured from warm batches; 0 = fixed budget)")
+    p.add_argument("--auth_token", default=None,
+                   help="require 'Authorization: Bearer <token>' on /enhance "
+                        "and /enhance_stream (/healthz stays open); defaults "
+                        "to $SEGAN_SERVE_TOKEN when set")
+    p.add_argument("--tls_cert", default=None,
+                   help="path to a PEM certificate chain; with --tls_key, "
+                        "serve HTTPS instead of HTTP")
+    p.add_argument("--tls_key", default=None,
+                   help="path to the PEM private key for --tls_cert")
+    p.add_argument("--drain_seconds", type=float, default=30.0,
+                   help="on SIGTERM/SIGINT: stop accepting connections, wait "
+                        "up to this long for in-flight requests, then exit 0")
     p.add_argument("--verbose", action="store_true")
     opts = p.parse_args()
+    if bool(opts.tls_cert) != bool(opts.tls_key):
+        p.error("--tls_cert and --tls_key must be given together")
 
     import numpy as np
 
     from segan_pytorch_tpu.utils.engine import build_enhancement_engine
 
+    import os
+
     cfg, segan = build_enhancement_engine(opts.cfg_file, opts.g_pretrained_ckpt,
                                           opts.seed)
+    inflight = InflightCounter()
     state = {"warm_s": 0.0, "requests": 0, "verbose": opts.verbose,
              "max_stream_seconds": opts.max_stream_seconds,
-             "target_batch_seconds": opts.target_batch_seconds}
+             "target_batch_seconds": opts.target_batch_seconds,
+             "auth_token": opts.auth_token or os.environ.get(
+                 "SEGAN_SERVE_TOKEN", ""),
+             "inflight": inflight, "draining": False}
     if opts.warm_seconds > 0:
         t0 = time.perf_counter()
         segan.generate(np.zeros(int(16000 * opts.warm_seconds), np.float32))
@@ -376,9 +456,43 @@ def main():
         print(f"[serve] warm compile done in {state['warm_s']} s")
     srv = ThreadingHTTPServer((opts.host, opts.port),
                               make_handler(cfg, segan, state))
-    print(f"[serve] listening on http://{opts.host}:{opts.port} "
-          f"(slice_size {cfg.slice_size})", flush=True)
+    scheme = "http"
+    if opts.tls_cert:
+        import ssl
+
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(opts.tls_cert, opts.tls_key)
+        # handshake on first read in the HANDLER thread, not in accept():
+        # a client that stalls mid-handshake must not block the accept loop
+        srv.socket = ctx.wrap_socket(srv.socket, server_side=True,
+                                     do_handshake_on_connect=False)
+        scheme = "https"
+
+    def _graceful_stop(signum, _frame):
+        state["draining"] = True
+        print(f"[serve] signal {signum}: draining "
+              f"(up to {opts.drain_seconds:.0f}s for in-flight requests)",
+              flush=True)
+        # shutdown() blocks until serve_forever exits — must not run in the
+        # signal handler's (main) thread, which IS inside serve_forever
+        threading.Thread(target=srv.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _graceful_stop)
+    signal.signal(signal.SIGINT, _graceful_stop)
+    print(f"[serve] listening on {scheme}://{opts.host}:{opts.port} "
+          f"(slice_size {cfg.slice_size}"
+          f"{', auth required' if state['auth_token'] else ''})", flush=True)
     srv.serve_forever()
+    # accept loop stopped; handler threads are daemons — give work in flight
+    # a bounded window to finish before the process exit reaps them
+    deadline = time.time() + max(0.0, opts.drain_seconds)
+    while inflight.count() > 0 and time.time() < deadline:
+        time.sleep(0.05)
+    srv.server_close()
+    n = inflight.count()
+    print(f"[serve] shutdown complete"
+          f"{f' ({n} request(s) abandoned at drain deadline)' if n else ''}",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -39,7 +39,16 @@ def tiny_ckpt(tmp_path_factory):
     return root
 
 
-def _launch_server(root, port, extra_args=()):
+def _unverified_ctx():
+    import ssl
+
+    ctx = ssl.create_default_context()
+    ctx.check_hostname = False
+    ctx.verify_mode = ssl.CERT_NONE
+    return ctx
+
+
+def _launch_server(root, port, extra_args=(), scheme="http"):
     env = dict(os.environ, SEGAN_TPU_PLATFORM="cpu", PYTHONPATH=REPO)
     # server output goes to a FILE, not a PIPE: an undrained PIPE fills after
     # ~64K of logs and then BLOCKS the server mid-request (observed as an
@@ -53,7 +62,8 @@ def _launch_server(root, port, extra_args=()):
          "--port", str(port), "--warm_seconds", "0.2", *extra_args],
         cwd=REPO, env=env, stdout=log_f, stderr=subprocess.STDOUT,
         text=True)
-    base = f"http://127.0.0.1:{port}"
+    base = f"{scheme}://127.0.0.1:{port}"
+    ctx = _unverified_ctx() if scheme == "https" else None
     deadline = time.time() + 180
     last_err = None
     while time.time() < deadline:
@@ -62,7 +72,8 @@ def _launch_server(root, port, extra_args=()):
             raise RuntimeError(
                 f"server died:\n{log_path.read_text()[-3000:]}")
         try:
-            with urllib.request.urlopen(base + "/healthz", timeout=2) as r:
+            with urllib.request.urlopen(base + "/healthz", timeout=2,
+                                        context=ctx) as r:
                 if r.status == 200:
                     break
         except Exception as e:
@@ -300,3 +311,108 @@ class TestServeOverlap:
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req, timeout=30)
         assert ei.value.code == 400
+
+
+class TestServeDeployment:
+    """Deployment extras: bearer-token auth, TLS, graceful SIGTERM drain."""
+
+    def test_auth_token(self, tiny_ckpt):
+        base, proc, log_f = _launch_server(
+            tiny_ckpt, 29779, ("--auth_token", "sekrit-42"))
+        try:
+            # healthz stays open (LB probes) and reports auth enabled
+            with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+                info = json.loads(r.read())
+            assert info["auth"] is True
+            body = _wav_bytes(n=2048)
+            # no token / wrong token -> 401 with WWW-Authenticate
+            for hdrs in ({}, {"Authorization": "Bearer wrong"},
+                         {"Authorization": "Basic sekrit-42"}):
+                req = urllib.request.Request(base + "/enhance", data=body,
+                                             headers=hdrs)
+                with pytest.raises(urllib.error.HTTPError) as ei:
+                    urllib.request.urlopen(req, timeout=30)
+                assert ei.value.code == 401
+                assert ei.value.headers["WWW-Authenticate"] == "Bearer"
+            req = urllib.request.Request(
+                base + "/enhance_stream?window=1024", data=b"\x00\x00" * 512)
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 401
+            # correct token -> 200
+            req = urllib.request.Request(
+                base + "/enhance?seed=1", data=body,
+                headers={"Authorization": "Bearer sekrit-42"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                assert r.status == 200
+                assert len(r.read()) > 0
+        finally:
+            proc.kill()
+            proc.wait(timeout=10)
+            log_f.close()
+
+    def test_tls(self, tiny_ckpt, tmp_path):
+        import shutil
+
+        if shutil.which("openssl") is None:
+            pytest.skip("openssl CLI not available to mint a test cert")
+        cert = tmp_path / "cert.pem"
+        key = tmp_path / "key.pem"
+        subprocess.run(
+            ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+             "-keyout", str(key), "-out", str(cert), "-days", "1",
+             "-subj", "/CN=localhost"],
+            check=True, capture_output=True)
+        base, proc, log_f = _launch_server(
+            tiny_ckpt, 29780,
+            ("--tls_cert", str(cert), "--tls_key", str(key)), scheme="https")
+        try:
+            from scipy.io import wavfile
+
+            ctx = _unverified_ctx()
+            req = urllib.request.Request(base + "/enhance?seed=4",
+                                         data=_wav_bytes(n=2048))
+            with urllib.request.urlopen(req, timeout=120, context=ctx) as r:
+                assert r.status == 200
+                rate, enh = wavfile.read(io.BytesIO(r.read()))
+            assert rate == 16000 and enh.shape == (2048,)
+            assert np.all(np.isfinite(enh))
+        finally:
+            proc.kill()
+            proc.wait(timeout=10)
+            log_f.close()
+
+    def test_graceful_sigterm(self, tiny_ckpt):
+        import signal as _signal
+        import threading
+
+        base, proc, log_f = _launch_server(tiny_ckpt, 29781)
+        try:
+            results = {}
+
+            def hit():
+                req = urllib.request.Request(base + "/enhance?seed=7",
+                                             data=_wav_bytes(n=2048))
+                try:
+                    with urllib.request.urlopen(req, timeout=120) as r:
+                        results["status"] = r.status
+                        results["n"] = len(r.read())
+                except Exception as e:  # pragma: no cover - failure detail
+                    results["error"] = repr(e)
+
+            t = threading.Thread(target=hit)
+            t.start()
+            time.sleep(0.05)  # let the request reach the server
+            proc.send_signal(_signal.SIGTERM)
+            t.join(timeout=120)
+            # the in-flight request is answered, not cut
+            assert results.get("status") == 200, results
+            assert results["n"] > 0
+            assert proc.wait(timeout=30) == 0  # clean exit after drain
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait(timeout=10)
+            log_f.close()
+        log_text = (tiny_ckpt / "server_29781.log").read_text()
+        assert "shutdown complete" in log_text
