@@ -588,14 +588,16 @@ class SEGAN:
     # -- training -----------------------------------------------------------
     def _setup_parallel(self):
         cfg = self.cfg
-        if cfg.dp and cfg.dp > 1:
-            if cfg.batch_size % cfg.dp != 0:
+        dp = cfg.dp if cfg.dp and cfg.dp > 1 else 1
+        mp = getattr(cfg, "mp", 1) or 1
+        if dp > 1 or mp > 1:
+            if cfg.batch_size % dp != 0:
                 raise ValueError(
                     f"batch_size ({cfg.batch_size}) must be divisible by the "
-                    f"data-parallel factor --dp ({cfg.dp})")
-            from ..parallel import make_mesh, replicate
-            self.mesh = make_mesh(cfg.dp)
-            self.state = replicate(self.state, self.mesh)
+                    f"data-parallel factor --dp ({dp})")
+            from ..parallel import make_mesh, shard_params
+            self.mesh = make_mesh(dp, mp)
+            self.state = shard_params(self.state, self.mesh)
 
     def _shard_batch(self, *arrays):
         if self.mesh is None:

@@ -3,6 +3,7 @@ from .mesh import (make_mesh, initialize_distributed, shutdown_distributed,  # n
 from .sharding import (  # noqa: F401
     replicate,
     shard_batch,
+    shard_params,
     batch_sharding,
     replicated_sharding,
     local_host_rows,

@@ -6,8 +6,11 @@ DCN across slices), with the batch axis sharded and parameters replicated.  XLA 
 gradient all-reduce (psum over 'data') automatically under jit, and BatchNorm reductions in
 D become cross-replica for free (see models/modules.py:BatchNorm1d).
 
-A 'model' axis is reserved for sharding the D head FC (16·1024→256) at very large batch,
-though at ~91M params SEGAN needs no tensor parallelism (SURVEY §2.6).
+A 'model' axis (make_mesh(dp, mp)) tensor-shards the D head FC (16·1024→256, the one
+weight big enough to matter) Megatron-style — column-parallel fc_0, row-parallel fc_2,
+XLA inserting the reduce over 'model' automatically (see sharding.shard_params). At
+~91M params SEGAN needs no TP for capacity (SURVEY §2.6); the axis exists for very
+large global batches where the replicated head's gradient all-reduce dominates.
 """
 from __future__ import annotations
 
@@ -71,10 +74,26 @@ def shutdown_distributed():
         print(f"[multi-host] distributed shutdown: {e}")
 
 
-def make_mesh(dp: Optional[int] = None, axis_names: Sequence[str] = ("data",),
+def make_mesh(dp: Optional[int] = None, mp: int = 1,
+              axis_names: Sequence[str] = ("data",),
               devices=None) -> Mesh:
-    """Build a 1-D data mesh over `dp` devices (default: all)."""
+    """Build the device mesh: 1-D 'data' (default), or 2-D ('data', 'model')
+    when mp > 1 — dp x mp devices, the 'model' axis innermost so its
+    collectives ride the fastest ICI links."""
     devices = devices if devices is not None else jax.devices()
+    mp = int(mp or 1)
+    if mp > 1:
+        if dp is None or dp <= 0:
+            if len(devices) % mp != 0:
+                raise ValueError(
+                    f"device count {len(devices)} not divisible by mp={mp}")
+            dp = len(devices) // mp
+        need = dp * mp
+        if need > len(devices):
+            raise ValueError(f"dp*mp={need} exceeds available devices "
+                             f"{len(devices)}")
+        dev = np.asarray(devices[:need]).reshape((dp, mp))
+        return Mesh(dev, axis_names=("data", "model"))
     if dp is None or dp <= 0:
         dp = len(devices)
     if dp > len(devices):

@@ -30,6 +30,54 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, s)
 
 
+def _tp_spec(path_str: str, shape) -> P:
+    """PartitionSpec for one state leaf under D-head tensor parallelism.
+
+    Megatron-style split of the reference's FC head (ref discriminator.py:
+    110-117): fc_0 (pool_slen*fmaps -> 256) column-parallel, its bias and the
+    fc_1 PReLU slope sharded alike, fc_2 (256 -> 128) row-parallel — XLA's
+    SPMD partitioner inserts the psum over 'model' after fc_2 automatically.
+    fc_3/fc_4 are tiny and stay replicated. Applies uniformly to params AND
+    their optimizer moments (optax state mirrors the param tree, so the same
+    path/shape match places both)."""
+    ndim = len(shape)
+    if "'fc_0'" in path_str:
+        if ndim == 2:
+            return P(None, "model")
+        if ndim == 1:
+            return P("model")
+    elif "'fc_1'" in path_str and ndim == 1:
+        return P("model")
+    elif "'fc_2'" in path_str and ndim == 2:
+        return P("model", None)
+    return P()
+
+
+def shard_params(state_tree, mesh: Mesh):
+    """Place a state pytree on the mesh: replicated everywhere except the
+    D-head FC leaves, which tensor-shard over the 'model' axis when present.
+
+    Uses make_array_from_callback so each process materializes only its
+    addressable shards — correct under both single-controller and multi-host.
+    """
+    if "model" not in mesh.axis_names or mesh.shape["model"] <= 1:
+        return replicate(state_tree, mesh)
+    mp = mesh.shape["model"]
+
+    def place(path, x):
+        x = np.asarray(x)
+        spec = _tp_spec(jax.tree_util.keystr(path), x.shape)
+        for dim, axis in enumerate(spec):
+            if axis == "model" and x.shape[dim] % mp != 0:
+                raise ValueError(
+                    f"D-head dim {x.shape[dim]} at {jax.tree_util.keystr(path)} "
+                    f"not divisible by mp={mp}")
+        s = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+    return jax.tree_util.tree_map_with_path(place, state_tree)
+
+
 def shard_batch(batch_tree, mesh: Mesh):
     """Shard leading (batch) axis of every array leaf across the 'data' axis.
 

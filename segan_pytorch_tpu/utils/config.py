@@ -113,6 +113,9 @@ class SEGANConfig:
     # --- TPU-native extensions (not in the reference argparse) ---
     # number of data-parallel shards; 0/1 = single chip, >1 = shard batch over a mesh
     dp: int = 1
+    # tensor-parallel degree: >1 builds a (data, model) mesh and Megatron-shards the
+    # D head FC over 'model' (parallel/sharding.py:shard_params); 0/1 = off
+    mp: int = 1
     # compute dtype for network matmuls/convs ('float32' or 'bfloat16'); params stay fp32
     compute_dtype: str = "float32"
     # BatchNorm statistics scope under data parallelism: 'global' (cross-replica, the

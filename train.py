@@ -93,6 +93,10 @@ def build_parser():
     # TPU-native extensions
     parser.add_argument('--dp', type=int, default=1,
                         help='Data-parallel shards over the device mesh (Def: 1).')
+    parser.add_argument('--mp', type=int, default=1,
+                        help='Tensor-parallel degree: builds a (data, model) '
+                             'mesh and Megatron-shards the D head FC over '
+                             '"model" (Def: 1 = off).')
     parser.add_argument('--compute_dtype', type=str, default='float32',
                         help='float32 | bfloat16 network compute dtype.')
     parser.add_argument('--use_pallas', action='store_true', default=False)
