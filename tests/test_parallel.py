@@ -121,6 +121,29 @@ class TestTensorParallelHead:
         with pytest.raises(ValueError):
             self._run(tmp_path, 1, 3, steps=0)  # 8 devices % 3 != 0
 
+    def test_wsegan_snorm_head_under_tp(self, tmp_path):
+        """WSEGAN's spectral-norm D head (power-iteration u/v vars replicated,
+        kernel sharded) trains under the 2-D mesh."""
+        from segan_pytorch_tpu.models.wsegan import WSEGAN
+
+        cfg = SEGANConfig(slice_size=1024, genc_fmaps=[8, 16, 32],
+                          genc_poolings=[4, 4, 4], z_dim=32,
+                          denc_fmaps=[8, 16, 32], denc_poolings=[4, 4, 4],
+                          dpool_slen=16, batch_size=8, dp=4, mp=2, wsegan=True,
+                          gnorm_type="snorm", dnorm_type="snorm", opt="adam",
+                          misalign_pair=True, save_path=str(tmp_path))
+        w = WSEGAN(cfg)
+        w.init_state(jax.random.PRNGKey(1), batch_size=8)
+        w.prepare_train(8)
+        rng = np.random.RandomState(3)
+        clean = rng.randn(8, 1024, 1).astype(np.float32) * 0.1
+        noisy = clean + rng.randn(8, 1024, 1).astype(np.float32) * 0.05
+        out = w.train_step(clean, noisy, np.ones((8,), np.float32),
+                           np.zeros((8,), np.float32), jax.random.PRNGKey(2),
+                           100.0)
+        metrics = out[0]
+        assert all(np.isfinite(float(v)) for v in metrics.values())
+
 
 class TestShardedInference:
     def test_sharded_matches_single_device(self, tmp_path):
