@@ -460,3 +460,137 @@ def load_torch_discriminator(ckpt_file: str, pool_slen: int, last_fmaps: int) ->
     if spectral:
         out["spectral"] = spectral
     return out
+
+
+# -- JAX -> torch export (the reverse migration path) -------------------------
+
+
+def _torch_tensor(x):
+    import torch
+
+    # copy=True: jax buffers arrive as non-writable views torch can't own
+    return torch.from_numpy(np.array(x, np.float32, copy=True))
+
+
+def _export_block(sd, blk_key, torch_prefix, blk, batch_stats):
+    """Emit one GConv1DBlock/GDeconv1DBlock in reference naming/layout.
+
+    Inverse of the load_* layout maps: conv (K, Cin, Cout) -> (Cout, Cin, K);
+    deconv (K, Cin, Cout) -> ConvTranspose1d's (Cin, Cout, K)."""
+    import torch
+
+    for kind, perm in (("conv", (2, 1, 0)), ("deconv", (1, 2, 0))):
+        if kind in blk:
+            sd[f"{torch_prefix}.{kind}.weight"] = _torch_tensor(
+                np.transpose(np.asarray(blk[kind]["weight"]), perm))
+            if "bias" in blk[kind]:
+                sd[f"{torch_prefix}.{kind}.bias"] = _torch_tensor(
+                    blk[kind]["bias"])
+    if "act" in blk:
+        sd[f"{torch_prefix}.act.weight"] = _torch_tensor(blk["act"]["weight"])
+    if "norm" in blk:
+        n = blk["norm"]
+        sd[f"{torch_prefix}.norm.weight"] = _torch_tensor(n["weight"])
+        sd[f"{torch_prefix}.norm.bias"] = _torch_tensor(n["bias"])
+        bs = batch_stats.get("norm", {})
+        c = np.asarray(n["weight"]).shape[0]
+        sd[f"{torch_prefix}.norm.running_mean"] = _torch_tensor(
+            bs.get("running_mean", np.zeros((c,), np.float32)))
+        sd[f"{torch_prefix}.norm.running_var"] = _torch_tensor(
+            bs.get("running_var", np.ones((c,), np.float32)))
+        sd[f"{torch_prefix}.norm.num_batches_tracked"] = torch.tensor(
+            0, dtype=torch.int64)
+
+
+def _blocks_sorted(params, prefix):
+    keys = [k for k in params if k.startswith(prefix)]
+    return sorted(keys, key=lambda k: int(k.rsplit("_", 1)[1]))
+
+
+def export_torch_generator(tree: dict, out_file: str, step: int = 0) -> None:
+    """Write our Generator tree as a reference-format torch checkpoint
+    (torch.save({'step', 'state_dict'}) with the reference's key names and
+    layouts) so the upstream repo's clean.py/load_pretrained consume it
+    directly (ref core.py:120-151). Inverse of load_torch_generator."""
+    import torch
+
+    if tree.get("spectral"):
+        raise NotImplementedError(
+            "spectral-norm generator export not supported (the canonical "
+            "SEGAN+ G has gnorm_type None; re-save without snorm)")
+    params = tree["params"]
+    batch_stats = tree.get("batch_stats", {})
+    sd = {}
+    for blk_key in _blocks_sorted(params, "enc_blocks_"):
+        _export_block(sd, blk_key, f"enc_blocks.{blk_key.rsplit('_', 1)[1]}",
+                      params[blk_key], batch_stats.get(blk_key, {}))
+    for blk_key in _blocks_sorted(params, "dec_blocks_"):
+        _export_block(sd, blk_key, f"dec_blocks.{blk_key.rsplit('_', 1)[1]}",
+                      params[blk_key], batch_stats.get(blk_key, {}))
+    for blk_key in _blocks_sorted(params, "alpha_"):
+        skip = params[blk_key]["skip_k"]
+        if isinstance(skip, dict):  # conv skip: weight (K, Cin, Cout) + bias
+            sd[f"{blk_key}.skip_k.weight"] = _torch_tensor(
+                np.transpose(np.asarray(skip["weight"]), (2, 1, 0)))
+            if "bias" in skip:
+                sd[f"{blk_key}.skip_k.bias"] = _torch_tensor(skip["bias"])
+        else:  # alpha/constant: (C,) -> torch's (1, C, 1)
+            sd[f"{blk_key}.skip_k"] = _torch_tensor(
+                np.reshape(np.asarray(skip), (1, -1, 1)))
+    torch.save({"step": int(step), "state_dict": sd}, out_file)
+
+
+def export_torch_discriminator(tree: dict, out_file: str, pool_slen: int,
+                               last_fmaps: int, step: int = 0) -> None:
+    """Write our Discriminator tree as a reference-format torch checkpoint.
+    Inverse of load_torch_discriminator, including the fc.0 flatten-order
+    permutation (ours (B, T, C) -> T*C vs torch's (B, C, T) -> C*T); fc keys
+    are emitted in ascending index order so the reference's partial-load
+    'drop last 2 keys' semantics (ref core.py:130-137) see fc.4 last."""
+    import torch
+
+    if tree.get("spectral"):
+        raise NotImplementedError(
+            "spectral-norm discriminator export not supported (export the "
+            "bnorm/none-normed D; snorm u/v live torch-side only)")
+    params = tree["params"]
+    batch_stats = tree.get("batch_stats", {})
+    sd = {}
+    for blk_key in _blocks_sorted(params, "enc_blocks_"):
+        _export_block(sd, blk_key, f"enc_blocks.{blk_key.rsplit('_', 1)[1]}",
+                      params[blk_key], batch_stats.get(blk_key, {}))
+    if "pool_conv" in params:
+        sd["pool_conv.weight"] = _torch_tensor(
+            np.transpose(np.asarray(params["pool_conv"]["weight"]), (2, 1, 0)))
+        if "bias" in params["pool_conv"]:
+            sd["pool_conv.bias"] = _torch_tensor(params["pool_conv"]["bias"])
+    for name in _blocks_sorted(params, "fc_"):
+        idx = int(name.rsplit("_", 1)[1])
+        node = params[name]
+        if "bias" not in node and np.asarray(node["weight"]).ndim == 1:
+            # PReLU between the Linears (fc.1 / fc.3)
+            sd[f"fc.{idx}.weight"] = _torch_tensor(node["weight"])
+            continue
+        w = np.asarray(node["weight"]).T  # ours (in, out) -> torch (out, in)
+        if idx == 0:
+            # (256, T*C) -> (256, T, C) -> (256, C, T) -> (256, C*T)
+            w = w.reshape(w.shape[0], pool_slen, last_fmaps)
+            w = np.transpose(w, (0, 2, 1)).reshape(w.shape[0], -1)
+        sd[f"fc.{idx}.weight"] = _torch_tensor(w)
+        if "bias" in node:
+            sd[f"fc.{idx}.bias"] = _torch_tensor(node["bias"])
+    if "fc" in params:  # single-Linear heads (conv/gmax/gavg)
+        sd["fc.weight"] = _torch_tensor(np.asarray(params["fc"]["weight"]).T)
+        if "bias" in params["fc"]:
+            sd["fc.bias"] = _torch_tensor(params["fc"]["bias"])
+    for name in _blocks_sorted(params, "mlp_"):
+        idx = int(name.rsplit("_", 1)[1])
+        node = params[name]
+        if np.asarray(node["weight"]).ndim == 3:
+            sd[f"mlp.{idx}.weight"] = _torch_tensor(
+                np.transpose(np.asarray(node["weight"]), (2, 1, 0)))
+            if "bias" in node:
+                sd[f"mlp.{idx}.bias"] = _torch_tensor(node["bias"])
+        else:  # PReLU
+            sd[f"mlp.{idx}.weight"] = _torch_tensor(node["weight"])
+    torch.save({"step": int(step), "state_dict": sd}, out_file)

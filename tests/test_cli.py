@@ -177,3 +177,14 @@ class TestConverterCLI:
         tree, meta = load_pytree(out)
         assert "enc_blocks_0" in tree["state_dict"]["params"]
         assert meta["source"] == src
+
+        # reverse direction: our npz -> torch format, state dicts must agree
+        back = str(tmp_path / "tg.torch")
+        r = run_cli(["weight_converter.py", out, "--to_torch", "--out", back,
+                     "--which", "G"])
+        assert r.returncode == 0, r.stderr[-1500:]
+        payload = torch.load(back)
+        assert set(payload["state_dict"]) == set(st)
+        for k in st:
+            np.testing.assert_array_equal(payload["state_dict"][k].numpy(),
+                                          st[k].numpy())
