@@ -509,7 +509,8 @@ class SEGAN:
         """
         if not 0.0 <= overlap < 0.5:
             raise ValueError(f"overlap must be in [0, 0.5), got {overlap}")
-        if not inwavs:
+        # len(), not truthiness: a 2-D ndarray of utterances is a valid input
+        if inwavs is None or len(inwavs) == 0:
             return []
         if rng is None:
             if self._gen_rng is None:

@@ -81,8 +81,14 @@ def make_mesh(dp: Optional[int] = None, mp: int = 1,
     when mp > 1 — dp x mp devices, the 'model' axis innermost so its
     collectives ride the fastest ICI links."""
     devices = devices if devices is not None else jax.devices()
+    if not isinstance(mp, (int, np.integer, type(None))):
+        raise TypeError(f"mp must be an int, got {type(mp).__name__} "
+                        "(pass axis_names by keyword)")
     mp = int(mp or 1)
     if mp > 1:
+        if tuple(axis_names) != ("data",):
+            raise ValueError(
+                "axis_names is fixed to ('data', 'model') when mp > 1")
         if dp is None or dp <= 0:
             if len(devices) % mp != 0:
                 raise ValueError(

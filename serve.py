@@ -149,8 +149,11 @@ def make_handler(cfg, segan, state):
             if not auth_token:
                 return True
             header = self.headers.get("Authorization", "")
+            # compare as bytes: compare_digest(str, str) raises TypeError on
+            # non-ASCII, which an unauthenticated client could trigger at will
             return (header.startswith("Bearer ")
-                    and hmac.compare_digest(header[7:], auth_token))
+                    and hmac.compare_digest(header[7:].encode("utf-8"),
+                                            auth_token.encode("utf-8")))
 
         def do_GET(self):
             if self.path.split("?")[0] != "/healthz":
@@ -181,9 +184,15 @@ def make_handler(cfg, segan, state):
                 self.close_connection = True  # body unread; can't keep-alive
                 return self._json(
                     401, {"error": "unauthorized"},
-                    extra_headers=[("WWW-Authenticate", "Bearer")])
+                    extra_headers=[("WWW-Authenticate", "Bearer"),
+                                   ("Connection", "close")])
             with inflight:
-                return self._do_post()
+                try:
+                    return self._do_post()
+                finally:
+                    if state.get("draining"):
+                        # keep-alive connections must not outlive the drain
+                        self.close_connection = True
 
         def _do_post(self):
             path, _, _ = self.path.partition("?")
@@ -483,12 +492,21 @@ def main():
           f"(slice_size {cfg.slice_size}"
           f"{', auth required' if state['auth_token'] else ''})", flush=True)
     srv.serve_forever()
-    # accept loop stopped; handler threads are daemons — give work in flight
-    # a bounded window to finish before the process exit reaps them
+    # close the LISTENING socket immediately so new clients get
+    # connection-refused (fast LB failover) instead of hanging in the backlog
+    # for the whole drain window; established connections are unaffected
+    srv.server_close()
+    # grace for requests accepted before the signal but not yet counted
+    # (thread spawn + deferred TLS handshake + header parse precede do_POST's
+    # inflight increment), then wait out genuinely in-flight work — handler
+    # threads are daemons, so process exit reaps whatever misses the deadline
     deadline = time.time() + max(0.0, opts.drain_seconds)
+    grace = min(1.0, max(0.0, opts.drain_seconds))
+    t_grace = time.time() + grace
+    while time.time() < t_grace:
+        time.sleep(0.05)
     while inflight.count() > 0 and time.time() < deadline:
         time.sleep(0.05)
-    srv.server_close()
     n = inflight.count()
     print(f"[serve] shutdown complete"
           f"{f' ({n} request(s) abandoned at drain deadline)' if n else ''}",

@@ -267,6 +267,15 @@ class TestGenerateBatch:
         # input must not touch the PRNG stream or the device.
         segan = self._engine()
         assert segan.generate_batch([]) == []
+        assert segan.generate_batch(np.zeros((0, 100), np.float32)) == []
+
+    def test_ndarray_input(self):
+        # a 2-D ndarray of utterances is iterable rows — must not hit
+        # ndarray-truthiness in the empty guard
+        segan = self._engine()
+        wavs = np.random.RandomState(0).randn(2, 1500).astype(np.float32) * .1
+        outs = segan.generate_batch(wavs)
+        assert [o[0].shape[0] for o in outs] == [1500, 1500]
 
     def test_no_z_config(self):
         from segan_pytorch_tpu.models import SEGAN

@@ -121,6 +121,13 @@ class TestTensorParallelHead:
         with pytest.raises(ValueError):
             self._run(tmp_path, 1, 3, steps=0)  # 8 devices % 3 != 0
 
+    def test_make_mesh_misuse_rejected(self):
+        # legacy positional axis_names must not be silently read as mp
+        with pytest.raises(TypeError):
+            make_mesh(4, ("data",))
+        with pytest.raises(ValueError):
+            make_mesh(2, 2, axis_names=("batch",))
+
     def test_wsegan_snorm_head_under_tp(self, tmp_path):
         """WSEGAN's spectral-norm D head (power-iteration u/v vars replicated,
         kernel sharded) trains under the 2-D mesh."""

@@ -339,6 +339,14 @@ class TestServeDeployment:
             with pytest.raises(urllib.error.HTTPError) as ei:
                 urllib.request.urlopen(req, timeout=30)
             assert ei.value.code == 401
+            # non-ASCII token must be a clean 401, not a TypeError-crashed
+            # connection (headers are latin-1 decoded server-side)
+            req = urllib.request.Request(
+                base + "/enhance", data=body,
+                headers={"Authorization": "Bearer f\xf6o"})
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 401
             # correct token -> 200
             req = urllib.request.Request(
                 base + "/enhance?seed=1", data=body,
