@@ -14,14 +14,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _force(out):
+    """Force completion with a device-side scalar sum + 4-byte fetch.
+
+    block_until_ready can return early on the remote 'axon' platform, and
+    fetching a full output leaf drags MBs over the ~33 MB/s dev tunnel into
+    the timed window (both failure modes measured — BENCH.md r3); a scalar
+    reduce runs after all queued work and costs one tiny D2H."""
+    acc = jnp.zeros((), jnp.float32)
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "dtype"):
+            acc = acc + jnp.sum(leaf.astype(jnp.float32))
+    return float(acc)
+
+
 def timeit(fn, *args, n=10, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     return (time.perf_counter() - t0) / n
 
 
@@ -85,9 +99,11 @@ def main():
     segan = SEGAN(cfg)
     segan.init_state(batch_size=B)
     segan.prepare_train(B)
-    mask = np.ones((B,), np.float32)
-    cl = np.asarray(clean, np.float32)
-    no = np.asarray(noisy, np.float32)
+    # device-resident inputs, like the steady-state train loop (device_prefetch
+    # hides H2D): feeding host numpy here would time the ~33 MB/s dev tunnel
+    mask = jax.device_put(np.ones((B,), np.float32))
+    cl = jax.device_put(jnp.asarray(clean, jnp.float32))
+    no = jax.device_put(jnp.asarray(noisy, jnp.float32))
 
     def full(k):
         m, _, _ = segan.train_step(cl, no, mask, k, 100.0)
