@@ -244,6 +244,34 @@ class TestOptimizerParity:
         np.testing.assert_allclose(np.asarray(jw), tw.detach().numpy(),
                                    rtol=1e-5, atol=1e-7)
 
+    def test_adam_matches_torch(self):
+        """optax adam must track torch.optim.Adam at the reference's odd
+        betas=(0, 0.9) (ref model.py:225-228: beta1=0 disables the first
+        moment entirely) including bias correction in the early steps."""
+        torch = pytest.importorskip("torch")
+        from segan_pytorch_tpu.models.segan import build_optimizer
+
+        rng = np.random.RandomState(1)
+        w0 = rng.randn(4, 6).astype(np.float32)
+        target = rng.randn(4, 6).astype(np.float32)
+
+        tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        topt = torch.optim.Adam([tw], lr=5e-5, betas=(0.0, 0.9))
+        tx = build_optimizer("adam", 5e-5, betas=(0.0, 0.9))
+        jw = jnp.asarray(w0)
+        jstate = tx.init(jw)
+
+        for i in range(20):
+            topt.zero_grad()
+            tloss = ((tw - torch.from_numpy(target)) ** 2).sum()
+            tloss.backward()
+            topt.step()
+            g = 2.0 * (np.asarray(jw) - target)
+            updates, jstate = tx.update(jnp.asarray(g), jstate, jw)
+            jw = jw + updates
+        np.testing.assert_allclose(np.asarray(jw), tw.detach().numpy(),
+                                   rtol=1e-5, atol=1e-7)
+
 
 class TestWSEGANResume:
     def _fake_dloader(self, n_batches=3, B=2, T=1024):
