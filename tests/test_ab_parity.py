@@ -96,7 +96,7 @@ class TestABParityHarness:
              "--clean_test", str(corpus / "clean"),
              "--noisy_test", str(corpus / "noisy"),
              "--ab_torch", "--out", out],
-            capture_output=True, text=True, cwd=ROOT, timeout=540)
+            capture_output=True, text=True, cwd=ROOT, timeout=540, env=env)
         assert r.returncode == 0, r.stderr[-3000:]
         with open(out) as f:
             rep = json.load(f)

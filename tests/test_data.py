@@ -491,7 +491,8 @@ class TestH5Path:
             [sys.executable, "tools/make_h5.py", "--clean_dir", clean_d,
              "--noisy_dir", noisy_d, "--out_dir", str(tmp_path),
              "--split", "train", "--slice_size", "4096", "--stride", "0.5"],
-            cwd=repo, capture_output=True, text=True)
+            cwd=repo, capture_output=True, text=True,
+            env=dict(os.environ, SEGAN_TPU_PLATFORM="cpu", PYTHONPATH=repo))
         assert out.returncode == 0, out.stderr[-2000:]
         ds = SEH5Dataset(str(tmp_path), "train", preemph=0.95)
         assert len(ds) > 0
@@ -521,7 +522,8 @@ class TestH5Path:
             [sys.executable, "tools/make_h5.py", "--clean_dir", clean_d,
              "--noisy_dir", noisy_d, "--out_dir", str(tmp_path),
              "--split", "valid", "--slice_size", "4096"],
-            cwd=repo, capture_output=True, text=True, check=True)
+            cwd=repo, capture_output=True, text=True, check=True,
+            env=dict(os.environ, SEGAN_TPU_PLATFORM="cpu", PYTHONPATH=repo))
         ds = SEH5Dataset(str(tmp_path), "valid", preemph=0.95,
                          random_scale=[2.0])
         base = SEH5Dataset(str(tmp_path), "valid", preemph=0.95)

@@ -159,6 +159,25 @@ segan.close_pool()
 means = " ".join(f"{k}={float(np.mean(v)):.6f}" for k, v in sorted(evals.items()))
 print("MHEVAL", pid, means, flush=True)
 
+# --- phase 5: tensor-parallel D head across hosts (mp=2) ---
+# shard_params places TP leaves with make_array_from_callback, so each process
+# materializes only its addressable shards of the (data, model) grid; the
+# 'model' psum XLA inserts after fc_2 rides the cross/intra-process collectives
+import dataclasses
+cfg_tp = dataclasses.replace(cfg, dp=(NDEV * nproc) // 2, mp=2)
+segan_tp = SEGAN(cfg_tp)
+segan_tp.init_state(jax.random.PRNGKey(7), batch_size=GLOBAL_B)
+segan_tp.prepare_train(GLOBAL_B)
+from jax.sharding import PartitionSpec as P
+assert segan_tp.state.d_params["fc_0"]["weight"].sharding.spec == P(None, "model")
+distributed_barrier("mh_tp_dispatch", 240.0)
+metrics_tp, _, _ = segan_tp.train_step(clean_g[lo:hi], noisy_g[lo:hi], mask_l,
+                                       jax.random.PRNGKey(1), 100.0)
+mtp = {k: float(v) for k, v in metrics_tp.items()}
+for k, v in mtp.items():
+    assert np.isfinite(v), (k, v)
+print("MHTP", pid, " ".join(f"{k}={v:.6f}" for k, v in sorted(mtp.items())), flush=True)
+
 # Explicit shutdown at a point where all processes are still in lockstep (the
 # evaluate() allgather just synced them): the atexit shutdown barrier has a
 # hard 30 s deadline, and on a loaded single-core box a straggler's interpreter
@@ -212,7 +231,7 @@ def test_multi_process_train_step(tmp_path, nproc, ndev):
         return next(ln for ln in o.splitlines() if ln.startswith(prefix)
                     ).split(" ", 2)[2]
 
-    for prefix in ("MHOK", "MHLOADER", "MHEVAL"):
+    for prefix in ("MHOK", "MHLOADER", "MHEVAL", "MHTP"):
         # replicated metrics / reconstructed eval sets must be IDENTICAL on
         # every host (otherwise early stop desyncs the pod)
         vals = [tail_of(prefix, o) for o in outs]
