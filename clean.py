@@ -49,9 +49,10 @@ def main(opts):
             write_wav(out_path, g_wav, 16000, subtype='float')
 
     B = max(1, int(getattr(opts, 'batch_utts', 1)))
-    if B > 1 and not opts.h5 and not cfg.wsegan:
-        # throughput mode: B utterances' chunk grids become ONE device batch
-        # (SEGAN.generate_batch); equals the sequential loop below to 1 ulp
+    if B > 1 and not opts.h5:
+        # throughput mode: B utterances become ONE device batch — SEGAN
+        # concatenates chunk grids (generate_batch); WSEGAN groups utterances
+        # of equal make_div_n-padded length. Equals the sequential loop to 1 ulp
         beg_t = timeit.default_timer()
         for lo in range(0, len(twavs), B):
             group = twavs[lo: lo + B]

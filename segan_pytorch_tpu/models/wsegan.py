@@ -445,6 +445,62 @@ class WSEGAN(SEGAN):
         c_res = de_emphasize_np(c_res, self.preemph)
         return c_res, hall
 
+    def generate_batch(self, inwavs, chunk_buckets: bool = True, rng=None,
+                       overlap: float = 0.0):
+        """Batched WSEGAN enhancement (clean.py --batch_utts for the whisper
+        variant): utterances are grouped by their make_div_n(1024) padded
+        length and each group runs as ONE device pass. Unlike SEGAN's
+        chunk-grid batching, rows must share the padded length for the math to
+        equal sequential generate() (padding further than make_div_n would
+        change deep-layer receptive fields), so only equal-length groups
+        coalesce — typical fixed-duration corpora collapse to one group.
+
+        PRNG order matches N sequential generate() calls: the i-th utterance
+        consumes the i-th draw of the per-model stream regardless of grouping.
+        Returns a list of (enhanced_wav, hall) like N generate() results (hall
+        leaves sliced to the row, keeping the leading batch dim of 1)."""
+        if inwavs is None or len(inwavs) == 0:
+            return []
+        wavs = [np.asarray(w, np.float32).reshape(-1) for w in inwavs]
+        keys = []
+        if not self.G.no_z:
+            if rng is None:
+                if self._gen_rng is None:
+                    self._gen_rng = jax.random.PRNGKey(self.cfg.seed)
+                for _ in wavs:
+                    self._gen_rng, r = jax.random.split(self._gen_rng)
+                    keys.append(r)
+            else:
+                keys = list(jax.random.split(rng, len(wavs)))
+        groups: dict = {}
+        for i, w in enumerate(wavs):
+            T = w.shape[0]
+            L = T + 1024 - (T % 1024)  # make_div_n quirk: full extra N at T%N==0
+            groups.setdefault(L, []).append(i)
+        results: list = [None] * len(wavs)
+        for L, idxs in sorted(groups.items()):
+            x = np.zeros((len(idxs), L, 1), np.float32)
+            for r_, i in enumerate(idxs):
+                x[r_, : wavs[i].shape[0], 0] = wavs[i]
+            zb = None
+            if not self.G.no_z:
+                t = L
+                for p in self.G.poolings:
+                    t //= p
+                zb = jnp.concatenate(
+                    [jax.random.normal(keys[i], (1, t, self.G.effective_z_dim))
+                     for i in idxs], axis=0)
+            out, hall = self.G.apply(
+                {"params": self.state.g_params, **self.state.g_vars},
+                jnp.asarray(x), z=zb, ret_hid=True, train=False)
+            out = np.asarray(out)
+            for r_, i in enumerate(idxs):
+                c = de_emphasize_np(out[r_, : wavs[i].shape[0], 0],
+                                    self.preemph)
+                hall_i = jax.tree.map(lambda a, r=r_: a[r: r + 1], hall)
+                results[i] = (c, hall_i)
+        return results
+
 
 def make_ae_train_step(gen, g_tx, cfg: SEGANConfig, use_l1: bool):
     cdt = compute_dtype_of(cfg)

@@ -131,6 +131,37 @@ class TestWSEGANStep:
         out, hall = ws.generate(wav)
         assert out.shape == (3000,)
 
+    def test_generate_batch_matches_sequential(self):
+        """WSEGAN batched enhancement == N sequential generate() calls: same
+        per-model PRNG stream order (i-th utterance = i-th z draw) even though
+        grouping reorders the device passes; mixed padded lengths exercise the
+        multi-group path (3000/2900 share a 1024-bucket, 5000 is its own)."""
+        rng = np.random.RandomState(4)
+        wavs = [rng.randn(n).astype(np.float32) * 0.1
+                for n in (3000, 5000, 2900)]
+
+        def engine():
+            ws = WSEGAN(small_cfg(wsegan=True))
+            ws.init_state(batch_size=1)
+            ws._gen_rng = jax.random.PRNGKey(11)
+            return ws
+
+        seq_e = engine()
+        seq = [seq_e.generate(w) for w in wavs]
+        bat = engine().generate_batch(wavs)
+        assert len(bat) == 3
+        for (sw, sh), (bw, bh) in zip(seq, bat):
+            np.testing.assert_allclose(sw, bw, atol=1e-5, rtol=0)
+            assert jax.tree.structure(sh) == jax.tree.structure(bh)
+        assert engine().generate_batch([]) == []
+
+    def test_generate_batch_no_z(self):
+        ws = WSEGAN(small_cfg(wsegan=True, no_z=True))
+        ws.init_state(batch_size=1)
+        outs = ws.generate_batch([np.zeros((2000,), np.float32),
+                                  np.ones((2048,), np.float32) * .1])
+        assert [o[0].shape[0] for o in outs] == [2000, 2048]
+
 
 class TestAEWSEGAN:
     def test_step_and_no_discriminator(self):
