@@ -13,6 +13,14 @@ common chunk buckets, then serves:
                               Query params: format=float|pcm16 (default float),
                               seed=<int> for a deterministic per-request z,
                               overlap=<0..0.5) chunk cross-fade.
+  GET  /metrics            -> Prometheus text exposition (requests, device
+                              passes, inflight, reloads, enhance seconds);
+                              open like /healthz (cluster-internal scrapers)
+  POST /admin/reload       -> body: JSON {"g_ckpt": path[, "cfg_file": path]};
+                              builds + warms a NEW engine then atomically
+                              swaps it in (zero downtime; in-flight requests
+                              finish on the old engine; failure leaves the
+                              old engine serving). Token-gated like /enhance.
   POST /enhance_stream     -> body: raw 16 kHz PCM16 (little-endian), chunked
                               transfer encoding or Content-Length; response:
                               chunked raw PCM16, enhanced samples emitted with
@@ -113,12 +121,21 @@ def make_handler(cfg, segan, state):
     from scipy.io import wavfile as _wavfile
 
     from segan_pytorch_tpu.ops.signal import normalize_wave_minmax, pre_emphasize_np
+    from segan_pytorch_tpu.utils.engine import build_enhancement_engine
     from segan_pytorch_tpu.utils.serving import MicroBatcher, StreamingEnhancer
 
-    batcher = MicroBatcher(
+    # engine/batcher/cfg live in `state` so /admin/reload can swap them
+    # atomically (dict assignment under the GIL); in-flight requests keep
+    # the old objects alive until they finish
+    state["cfg"] = cfg
+    state["engine"] = segan
+    state["batcher"] = MicroBatcher(
         segan,
         target_batch_seconds=state.get("target_batch_seconds", 0.0))
-    state["batcher"] = batcher
+    state.setdefault("batches_prev", 0)  # passes from engines retired by reload
+    state.setdefault("reloads", 0)
+    state.setdefault("enh_seconds_sum", 0.0)
+    state["mlock"] = threading.Lock()
     max_stream_s = float(state.get("max_stream_seconds", 0.0))
     auth_token = state.get("auth_token") or ""
     inflight = state["inflight"]
@@ -156,19 +173,52 @@ def make_handler(cfg, segan, state):
                                             auth_token.encode("utf-8")))
 
         def do_GET(self):
-            if self.path.split("?")[0] != "/healthz":
+            path = self.path.split("?")[0]
+            if path == "/metrics":
+                return self._metrics()
+            if path != "/healthz":
                 return self._json(404, {"error": "unknown path"})
+            bt, c = state["batcher"], state["cfg"]
             self._json(200, {
                 "status": "draining" if state.get("draining") else "ok",
-                "model": "WSEGAN" if cfg.wsegan else "SEGAN",
-                "slice_size": cfg.slice_size,
+                "model": "WSEGAN" if c.wsegan else "SEGAN",
+                "slice_size": c.slice_size,
                 "warm_s": state["warm_s"],
                 "requests": state["requests"],
-                "batches": batcher.batches,
-                "batch_chunk_budget": batcher.effective_max_chunks,
+                "batches": state["batches_prev"] + bt.batches,
+                "batch_chunk_budget": bt.effective_max_chunks,
                 "inflight": inflight.count(),
                 "auth": bool(auth_token),
+                "reloads": state["reloads"],
             })
+
+        def _metrics(self):
+            """Prometheus text exposition (open like /healthz: scrapers are
+            cluster-internal; the enhancement endpoints stay token-gated)."""
+            bt = state["batcher"]
+            with state["mlock"]:
+                enh_sum = state["enh_seconds_sum"]
+            lines = [
+                "# TYPE segan_requests_total counter",
+                f"segan_requests_total {state['requests']}",
+                "# TYPE segan_device_passes_total counter",
+                f"segan_device_passes_total "
+                f"{state['batches_prev'] + bt.batches}",
+                "# TYPE segan_inflight_requests gauge",
+                f"segan_inflight_requests {inflight.count()}",
+                "# TYPE segan_reloads_total counter",
+                f"segan_reloads_total {state['reloads']}",
+                "# TYPE segan_enhance_seconds_sum counter",
+                f"segan_enhance_seconds_sum {enh_sum:.6f}",
+                "# TYPE segan_draining gauge",
+                f"segan_draining {int(bool(state.get('draining')))}",
+            ]
+            body = ("\n".join(lines) + "\n").encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         def _params(self):
             _, _, query = self.path.partition("?")
@@ -219,6 +269,8 @@ def make_handler(cfg, segan, state):
             # drain the body FIRST: under keep-alive (HTTP/1.1) an unread body
             # would be parsed as the next request line on the same connection
             raw = self.rfile.read(n)
+            if path == "/admin/reload":
+                return self._admin_reload(raw)
             if path != "/enhance":
                 return self._json(404, {"error": "unknown path"})
             params = self._params()
@@ -238,16 +290,19 @@ def make_handler(cfg, segan, state):
                 return self._json(400, {"error": f"expected 16 kHz, got {rate}"})
             try:
                 pwav = pre_emphasize_np(
-                    np.asarray(normalize_wave_minmax(_as_int16(wav))), cfg.preemph)
+                    np.asarray(normalize_wave_minmax(_as_int16(wav))),
+                    state["cfg"].preemph)
             except ValueError as e:  # unsupported sample dtype etc.
                 return self._json(400, {"error": str(e)})
             try:
                 rng = None if seed is None else jax.random.PRNGKey(seed)
                 t0 = time.perf_counter()
                 # concurrent requests coalesce into one device pass
-                enh = batcher.enhance(pwav, rng=rng, overlap=overlap)
+                enh = state["batcher"].enhance(pwav, rng=rng, overlap=overlap)
                 dt = time.perf_counter() - t0
                 state["requests"] += 1
+                with state["mlock"]:
+                    state["enh_seconds_sum"] += dt
             except Exception as e:  # surface model errors as 500s, keep serving
                 return self._json(500, {"error": str(e)})
             buf = io.BytesIO()
@@ -263,6 +318,42 @@ def make_handler(cfg, segan, state):
             self.send_header("X-Enhance-Seconds", f"{dt:.4f}")
             self.end_headers()
             self.wfile.write(body)
+
+        def _admin_reload(self, raw: bytes):
+            """Zero-downtime checkpoint swap: build + warm a NEW engine, then
+            atomically publish it (in-flight requests finish on the old one).
+            Token-gated with the other POST endpoints; a failed build leaves
+            the serving engine untouched (500, keep serving)."""
+            try:
+                req = json.loads(raw or b"{}")
+            except ValueError as e:
+                return self._json(400, {"error": f"bad json: {e}"})
+            g_ckpt = req.get("g_ckpt")
+            if not g_ckpt:
+                return self._json(400, {"error": "missing 'g_ckpt'"})
+            cfg_file = req.get("cfg_file") or state["cfg_file"]
+            try:
+                ncfg, nengine = build_enhancement_engine(
+                    cfg_file, g_ckpt, state["seed"])
+                warm_s = float(state.get("warm_seconds", 0.2))
+                if warm_s > 0:
+                    nengine.generate(
+                        np.zeros(int(16000 * warm_s), np.float32))
+                nbatcher = MicroBatcher(
+                    nengine,
+                    target_batch_seconds=state.get("target_batch_seconds",
+                                                   0.0))
+            except Exception as e:
+                return self._json(500, {"error": f"reload failed: {e}"})
+            state["batches_prev"] += state["batcher"].batches
+            state["cfg"], state["engine"] = ncfg, nengine
+            state["batcher"] = nbatcher
+            state["cfg_file"] = cfg_file
+            state["reloads"] += 1
+            if state["verbose"]:
+                print(f"[serve] reloaded engine from {g_ckpt}", flush=True)
+            return self._json(200, {"status": "reloaded", "g_ckpt": g_ckpt,
+                                    "reloads": state["reloads"]})
 
         def _drain_input_bounded(self, max_bytes=8 * 1024 * 1024,
                                  timeout_s=2.0):
@@ -325,14 +416,14 @@ def make_handler(cfg, segan, state):
         def _enhance_stream(self, params, chunked):
             try:
                 overlap = float(params.get("overlap", 0.25))
-                window = int(params.get("window", cfg.slice_size))
+                window = int(params.get("window", state["cfg"].slice_size))
                 seed = int(params["seed"]) if "seed" in params else None
             except ValueError as e:
                 self.close_connection = True
                 return self._json(400, {"error": f"bad query param: {e}"})
             try:
                 rng = None if seed is None else jax.random.PRNGKey(seed)
-                streamer = StreamingEnhancer(segan, window=window,
+                streamer = StreamingEnhancer(state["engine"], window=window,
                                              overlap=overlap, rng=rng)
             except ValueError as e:  # bad window/overlap
                 self.close_connection = True
@@ -457,7 +548,9 @@ def main():
              "target_batch_seconds": opts.target_batch_seconds,
              "auth_token": opts.auth_token or os.environ.get(
                  "SEGAN_SERVE_TOKEN", ""),
-             "inflight": inflight, "draining": False}
+             "inflight": inflight, "draining": False,
+             "cfg_file": opts.cfg_file, "seed": opts.seed,
+             "warm_seconds": opts.warm_seconds}
     if opts.warm_seconds > 0:
         t0 = time.perf_counter()
         segan.generate(np.zeros(int(16000 * opts.warm_seconds), np.float32))

@@ -313,6 +313,98 @@ class TestServeOverlap:
         assert ei.value.code == 400
 
 
+class TestServeOps:
+    """Operations surface: /metrics exposition and /admin/reload hot swap."""
+
+    def test_metrics_and_reload(self, tiny_ckpt):
+        base, proc, log_f = _launch_server(tiny_ckpt, 29782)
+        try:
+            with urllib.request.urlopen(base + "/metrics", timeout=10) as r:
+                assert r.status == 200
+                text = r.read().decode()
+            assert "segan_requests_total 0" in text
+            assert "segan_reloads_total 0" in text
+
+            body = _wav_bytes(n=2048, seed=3)
+            req = urllib.request.Request(base + "/enhance?seed=9", data=body)
+            with urllib.request.urlopen(req, timeout=120) as r:
+                out_before = r.read()
+            with urllib.request.urlopen(base + "/metrics", timeout=10) as r:
+                text = r.read().decode()
+            assert "segan_requests_total 1" in text
+            sum_line = next(ln for ln in text.splitlines()
+                            if ln.startswith("segan_enhance_seconds_sum"))
+            assert float(sum_line.split()[1]) > 0
+
+            # build a SECOND checkpoint with different weights
+            import jax as _jax
+
+            from segan_pytorch_tpu.utils.config import SEGANConfig
+            from segan_pytorch_tpu.models import SEGAN
+            from segan_pytorch_tpu.utils.checkpoint import Saver
+
+            alt = tiny_ckpt / "alt"
+            alt.mkdir(exist_ok=True)
+            cfg = SEGANConfig(slice_size=1024, genc_fmaps=[8, 16, 32],
+                              genc_poolings=[4, 4, 4], z_dim=32,
+                              denc_fmaps=[8, 16, 32], denc_poolings=[4, 4, 4],
+                              dpool_slen=16, batch_size=1,
+                              save_path=str(alt))
+            s2 = SEGAN(cfg)
+            s2.init_state(_jax.random.PRNGKey(99), batch_size=1)
+            s2.save(Saver(str(alt), prefix="EOE_G-"),
+                    Saver(str(alt), prefix="EOE_D-"), 1)
+
+            # bad path -> 500, old engine keeps serving
+            req = urllib.request.Request(
+                base + "/admin/reload",
+                data=json.dumps({"g_ckpt": "/nonexistent.ckpt"}).encode())
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=60)
+            assert ei.value.code == 500
+            req = urllib.request.Request(base + "/enhance?seed=9", data=body)
+            with urllib.request.urlopen(req, timeout=120) as r:
+                assert r.read() == out_before  # unchanged engine
+
+            # real reload -> same request now produces DIFFERENT audio
+            req = urllib.request.Request(
+                base + "/admin/reload",
+                data=json.dumps({
+                    "g_ckpt": str(alt / "weights_EOE_G-Generator-1.ckpt"),
+                }).encode())
+            with urllib.request.urlopen(req, timeout=180) as r:
+                info = json.loads(r.read())
+            assert info["status"] == "reloaded" and info["reloads"] == 1
+            req = urllib.request.Request(base + "/enhance?seed=9", data=body)
+            with urllib.request.urlopen(req, timeout=120) as r:
+                out_after = r.read()
+            assert out_after != out_before
+            with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+                h = json.loads(r.read())
+            assert h["reloads"] == 1
+            # device passes accumulate across the swap (batches_prev)
+            assert h["batches"] >= 3
+        finally:
+            proc.kill()
+            proc.wait(timeout=10)
+            log_f.close()
+
+    def test_reload_requires_auth(self, tiny_ckpt):
+        base, proc, log_f = _launch_server(
+            tiny_ckpt, 29783, ("--auth_token", "tok"))
+        try:
+            req = urllib.request.Request(
+                base + "/admin/reload",
+                data=json.dumps({"g_ckpt": "x"}).encode())
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 401
+        finally:
+            proc.kill()
+            proc.wait(timeout=10)
+            log_f.close()
+
+
 class TestServeDeployment:
     """Deployment extras: bearer-token auth, TLS, graceful SIGTERM drain."""
 
