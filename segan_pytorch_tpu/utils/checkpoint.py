@@ -472,17 +472,46 @@ def _torch_tensor(x):
     return torch.from_numpy(np.array(x, np.float32, copy=True))
 
 
-def _export_block(sd, blk_key, torch_prefix, blk, batch_stats):
+def _snorm_v_to_torch(v, kind: str, our_w_shape) -> np.ndarray:
+    """Inverse of _snorm_v_to_ours: our column order back to torch's
+    flattening (conv: ours (K, Cin) -> torch (Cin, K); others direct)."""
+    v = np.asarray(v, np.float32).reshape(-1)
+    if kind == "conv":
+        kw, cin, _ = our_w_shape
+        return v.reshape(kw, cin).T.reshape(-1)
+    return v
+
+
+def _emit_snorm(sd, torch_prefix, spec, v_transform=lambda v: v):
+    """Emit torch nn.utils.spectral_norm state (weight_u/weight_v) for one
+    wrapped tensor; the unnormalized weight itself is emitted by the caller
+    under '<prefix>.weight_orig'."""
+    sd[f"{torch_prefix}.weight_u"] = _torch_tensor(spec["weight_u"])
+    sd[f"{torch_prefix}.weight_v"] = _torch_tensor(
+        v_transform(np.asarray(spec["weight_v"], np.float32).reshape(-1)))
+
+
+def _export_block(sd, blk_key, torch_prefix, blk, batch_stats, spectral=None):
     """Emit one GConv1DBlock/GDeconv1DBlock in reference naming/layout.
 
     Inverse of the load_* layout maps: conv (K, Cin, Cout) -> (Cout, Cin, K);
-    deconv (K, Cin, Cout) -> ConvTranspose1d's (Cin, Cout, K)."""
+    deconv (K, Cin, Cout) -> ConvTranspose1d's (Cin, Cout, K). Spectral-norm
+    wrapped tensors land as weight_orig + weight_u/weight_v (v re-permuted
+    back to torch's column flattening for Conv1d)."""
     import torch
 
+    spectral = spectral or {}
     for kind, perm in (("conv", (2, 1, 0)), ("deconv", (1, 2, 0))):
         if kind in blk:
-            sd[f"{torch_prefix}.{kind}.weight"] = _torch_tensor(
-                np.transpose(np.asarray(blk[kind]["weight"]), perm))
+            w = np.asarray(blk[kind]["weight"])
+            spec = spectral.get(kind)
+            wname = "weight_orig" if spec else "weight"
+            sd[f"{torch_prefix}.{kind}.{wname}"] = _torch_tensor(
+                np.transpose(w, perm))
+            if spec:
+                _emit_snorm(sd, f"{torch_prefix}.{kind}", spec,
+                            lambda v, k=kind, s=w.shape:
+                            _snorm_v_to_torch(v, k, s))
             if "bias" in blk[kind]:
                 sd[f"{torch_prefix}.{kind}.bias"] = _torch_tensor(
                     blk[kind]["bias"])
@@ -514,19 +543,18 @@ def export_torch_generator(tree: dict, out_file: str, step: int = 0) -> None:
     directly (ref core.py:120-151). Inverse of load_torch_generator."""
     import torch
 
-    if tree.get("spectral"):
-        raise NotImplementedError(
-            "spectral-norm generator export not supported (the canonical "
-            "SEGAN+ G has gnorm_type None; re-save without snorm)")
     params = tree["params"]
     batch_stats = tree.get("batch_stats", {})
+    spectral = tree.get("spectral", {})
     sd = {}
     for blk_key in _blocks_sorted(params, "enc_blocks_"):
         _export_block(sd, blk_key, f"enc_blocks.{blk_key.rsplit('_', 1)[1]}",
-                      params[blk_key], batch_stats.get(blk_key, {}))
+                      params[blk_key], batch_stats.get(blk_key, {}),
+                      spectral.get(blk_key))
     for blk_key in _blocks_sorted(params, "dec_blocks_"):
         _export_block(sd, blk_key, f"dec_blocks.{blk_key.rsplit('_', 1)[1]}",
-                      params[blk_key], batch_stats.get(blk_key, {}))
+                      params[blk_key], batch_stats.get(blk_key, {}),
+                      spectral.get(blk_key))
     for blk_key in _blocks_sorted(params, "alpha_"):
         skip = params[blk_key]["skip_k"]
         if isinstance(skip, dict):  # conv skip: weight (K, Cin, Cout) + bias
@@ -549,48 +577,75 @@ def export_torch_discriminator(tree: dict, out_file: str, pool_slen: int,
     'drop last 2 keys' semantics (ref core.py:130-137) see fc.4 last."""
     import torch
 
-    if tree.get("spectral"):
-        raise NotImplementedError(
-            "spectral-norm discriminator export not supported (export the "
-            "bnorm/none-normed D; snorm u/v live torch-side only)")
     params = tree["params"]
     batch_stats = tree.get("batch_stats", {})
+    spectral = tree.get("spectral", {})
     sd = {}
     for blk_key in _blocks_sorted(params, "enc_blocks_"):
         _export_block(sd, blk_key, f"enc_blocks.{blk_key.rsplit('_', 1)[1]}",
-                      params[blk_key], batch_stats.get(blk_key, {}))
+                      params[blk_key], batch_stats.get(blk_key, {}),
+                      spectral.get(blk_key))
     if "pool_conv" in params:
-        sd["pool_conv.weight"] = _torch_tensor(
-            np.transpose(np.asarray(params["pool_conv"]["weight"]), (2, 1, 0)))
+        spec = spectral.get("pool_conv")
+        w = np.asarray(params["pool_conv"]["weight"])
+        wname = "weight_orig" if spec else "weight"
+        sd[f"pool_conv.{wname}"] = _torch_tensor(np.transpose(w, (2, 1, 0)))
+        if spec:
+            _emit_snorm(sd, "pool_conv", spec,
+                        lambda v: _snorm_v_to_torch(v, "conv", w.shape))
         if "bias" in params["pool_conv"]:
             sd["pool_conv.bias"] = _torch_tensor(params["pool_conv"]["bias"])
     for name in _blocks_sorted(params, "fc_"):
         idx = int(name.rsplit("_", 1)[1])
         node = params[name]
+        spec = spectral.get(name)
+        wname = "weight_orig" if spec else "weight"
         if "bias" not in node and np.asarray(node["weight"]).ndim == 1:
-            # PReLU between the Linears (fc.1 / fc.3)
-            sd[f"fc.{idx}.weight"] = _torch_tensor(node["weight"])
+            # PReLU between the Linears (fc.1 / fc.3; the ref's snorm-PReLU
+            # quirk wraps the slope too, disc.py:121)
+            sd[f"fc.{idx}.{wname}"] = _torch_tensor(node["weight"])
+            if spec:
+                _emit_snorm(sd, f"fc.{idx}", spec)
             continue
         w = np.asarray(node["weight"]).T  # ours (in, out) -> torch (out, in)
         if idx == 0:
             # (256, T*C) -> (256, T, C) -> (256, C, T) -> (256, C*T)
             w = w.reshape(w.shape[0], pool_slen, last_fmaps)
             w = np.transpose(w, (0, 2, 1)).reshape(w.shape[0], -1)
-        sd[f"fc.{idx}.weight"] = _torch_tensor(w)
+        sd[f"fc.{idx}.{wname}"] = _torch_tensor(w)
+        if spec:
+            def fc_v(v, i=idx):
+                if i == 0:  # inverse of the loader's (C, T) -> (T, C) permute
+                    return v.reshape(pool_slen, last_fmaps).T.reshape(-1)
+                return v
+            _emit_snorm(sd, f"fc.{idx}", spec, fc_v)
         if "bias" in node:
             sd[f"fc.{idx}.bias"] = _torch_tensor(node["bias"])
     if "fc" in params:  # single-Linear heads (conv/gmax/gavg)
-        sd["fc.weight"] = _torch_tensor(np.asarray(params["fc"]["weight"]).T)
+        spec = spectral.get("fc")
+        wname = "weight_orig" if spec else "weight"
+        sd[f"fc.{wname}"] = _torch_tensor(np.asarray(params["fc"]["weight"]).T)
+        if spec:
+            _emit_snorm(sd, "fc", spec)
         if "bias" in params["fc"]:
             sd["fc.bias"] = _torch_tensor(params["fc"]["bias"])
     for name in _blocks_sorted(params, "mlp_"):
         idx = int(name.rsplit("_", 1)[1])
         node = params[name]
+        spec = spectral.get(name)
+        wname = "weight_orig" if spec else "weight"
         if np.asarray(node["weight"]).ndim == 3:
-            sd[f"mlp.{idx}.weight"] = _torch_tensor(
-                np.transpose(np.asarray(node["weight"]), (2, 1, 0)))
+            w = np.asarray(node["weight"])
+            sd[f"mlp.{idx}.{wname}"] = _torch_tensor(
+                np.transpose(w, (2, 1, 0)))
+            if spec:
+                _emit_snorm(sd, f"mlp.{idx}", spec,
+                            lambda v, s=w.shape:
+                            _snorm_v_to_torch(v, "conv", s))
             if "bias" in node:
                 sd[f"mlp.{idx}.bias"] = _torch_tensor(node["bias"])
         else:  # PReLU
-            sd[f"mlp.{idx}.weight"] = _torch_tensor(node["weight"])
+            sd[f"mlp.{idx}.{wname}"] = _torch_tensor(node["weight"])
+            if spec:
+                _emit_snorm(sd, f"mlp.{idx}", spec)
     torch.save({"step": int(step), "state_dict": sd}, out_file)

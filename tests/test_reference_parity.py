@@ -547,9 +547,69 @@ class TestTorchExport:
         jax.tree.map(np.testing.assert_array_equal, back["batch_stats"],
                      jax.tree.map(np.asarray, vd["batch_stats"]))
 
-    def test_snorm_export_raises(self, tmp_path):
-        from segan_pytorch_tpu.utils.checkpoint import export_torch_generator
+    def test_snorm_export_roundtrip_forward(self, ref, tmp_path):
+        """Spectral-norm (the WSEGAN config): torch -> ours -> torch must
+        strict-load into a fresh snorm reference module and produce the
+        ORIGINAL module's eval output (weight_orig + re-permuted u/v)."""
+        from segan_pytorch_tpu.utils.checkpoint import (
+            export_torch_generator, load_torch_generator)
 
-        with pytest.raises(NotImplementedError):
-            export_torch_generator({"params": {}, "spectral": {"a": 1}},
-                                   str(tmp_path / "x.ckpt"))
+        RG = ref.gen.Generator(1, [8, 16, 32], 31, [4, 4, 4], z_dim=32,
+                               skip=True, bias=True, skip_init="one",
+                               skip_type="alpha", norm_type="snorm",
+                               skip_merge="concat", skip_kwidth=11)
+        with torch.no_grad():  # move u/v off their random init
+            for _ in range(3):
+                RG(torch.randn(2, 1, 1024) * 0.3, z=torch.randn(2, 32, 16))
+        RG.eval()
+        src = _save_ckpt(RG, tmp_path, "g_snorm_src.ckpt")
+        tree = load_torch_generator(src)
+        assert tree.get("spectral"), "importer lost the snorm state"
+        back = str(tmp_path / "g_snorm_back.ckpt")
+        export_torch_generator(tree, back)
+
+        RG2 = ref.gen.Generator(1, [8, 16, 32], 31, [4, 4, 4], z_dim=32,
+                                skip=True, bias=True, skip_init="one",
+                                skip_type="alpha", norm_type="snorm",
+                                skip_merge="concat", skip_kwidth=11)
+        RG2.load_state_dict(torch.load(back)["state_dict"], strict=True)
+        RG2.eval()
+        rng = np.random.RandomState(13)
+        x = torch.from_numpy(rng.randn(2, 1, 1024).astype(np.float32) * 0.3)
+        z = torch.from_numpy(rng.randn(2, 32, 16).astype(np.float32))
+        with torch.no_grad():
+            y1 = RG(x, z=z).numpy()
+            y2 = RG2(x, z=z).numpy()
+        np.testing.assert_allclose(y2, y1, atol=1e-6)
+
+    def test_snorm_discriminator_export_roundtrip(self, ref, tmp_path):
+        """snorm D incl. the PReLU-slope quirk and the fc.0 flatten permute:
+        import -> export -> strict load -> identical eval logits."""
+        from segan_pytorch_tpu.utils.checkpoint import (
+            export_torch_discriminator, load_torch_discriminator)
+
+        def build():
+            return ref.disc.Discriminator(2, [8, 16, 32], 31, [4, 4, 4],
+                                          pool_type="none", pool_slen=16,
+                                          norm_type="snorm", phase_shift=None)
+
+        RD = build()
+        with torch.no_grad():
+            for _ in range(3):
+                RD(torch.randn(2, 2, 1024) * 0.3)
+        RD.eval()
+        src = _save_ckpt(RD, tmp_path, "d_snorm_src.ckpt")
+        tree = load_torch_discriminator(src, 16, 32)
+        assert tree.get("spectral")
+        back = str(tmp_path / "d_snorm_back.ckpt")
+        export_torch_discriminator(tree, back, 16, 32)
+        RD2 = build()
+        RD2.load_state_dict(torch.load(back)["state_dict"], strict=True)
+        RD2.eval()
+        x = torch.from_numpy(
+            np.random.RandomState(17).randn(3, 2, 1024).astype(np.float32)
+            * 0.3)
+        with torch.no_grad():
+            y1, _ = RD(x)
+            y2, _ = RD2(x)
+        np.testing.assert_allclose(y2.numpy(), y1.numpy(), atol=1e-6)
