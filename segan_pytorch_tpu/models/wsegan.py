@@ -458,7 +458,13 @@ class WSEGAN(SEGAN):
         PRNG order matches N sequential generate() calls: the i-th utterance
         consumes the i-th draw of the per-model stream regardless of grouping.
         Returns a list of (enhanced_wav, hall) like N generate() results (hall
-        leaves sliced to the row, keeping the leading batch dim of 1)."""
+        leaves sliced to the row, keeping the leading batch dim of 1).
+
+        chunk_buckets=True pads each group's ROW count to a power of two
+        (inert zero rows, outputs discarded) so recompiles are bounded by
+        O(log B x distinct padded lengths) instead of one program per exact
+        group size; the padded LENGTH axis stays data-dependent by design
+        (padding past make_div_n would change deep receptive fields)."""
         if inwavs is None or len(inwavs) == 0:
             return []
         wavs = [np.asarray(w, np.float32).reshape(-1) for w in inwavs]
@@ -479,7 +485,11 @@ class WSEGAN(SEGAN):
             groups.setdefault(L, []).append(i)
         results: list = [None] * len(wavs)
         for L, idxs in sorted(groups.items()):
-            x = np.zeros((len(idxs), L, 1), np.float32)
+            n = len(idxs)
+            rows = n
+            if chunk_buckets and n > 1:
+                rows = 1 << (n - 1).bit_length()  # next pow2 row bucket
+            x = np.zeros((rows, L, 1), np.float32)
             for r_, i in enumerate(idxs):
                 x[r_, : wavs[i].shape[0], 0] = wavs[i]
             zb = None
@@ -487,9 +497,14 @@ class WSEGAN(SEGAN):
                 t = L
                 for p in self.G.poolings:
                     t //= p
-                zb = jnp.concatenate(
-                    [jax.random.normal(keys[i], (1, t, self.G.effective_z_dim))
-                     for i in idxs], axis=0)
+                zd = self.G.effective_z_dim
+                z_rows = [jax.random.normal(keys[i], (1, t, zd))
+                          for i in idxs]
+                if rows > n:  # inert pad rows: fixed dummy key, outputs dropped
+                    pad = jax.random.normal(jax.random.PRNGKey(0),
+                                            (rows - n, t, zd))
+                    z_rows.append(pad)
+                zb = jnp.concatenate(z_rows, axis=0)
             out, hall = self.G.apply(
                 {"params": self.state.g_params, **self.state.g_vars},
                 jnp.asarray(x), z=zb, ret_hid=True, train=False)

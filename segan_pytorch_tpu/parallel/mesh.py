@@ -86,7 +86,7 @@ def make_mesh(dp: Optional[int] = None, mp: int = 1,
                         "(pass axis_names by keyword)")
     mp = int(mp or 1)
     if mp > 1:
-        if tuple(axis_names) != ("data",):
+        if tuple(axis_names) not in (("data",), ("data", "model")):
             raise ValueError(
                 "axis_names is fixed to ('data', 'model') when mp > 1")
         if dp is None or dp <= 0:

@@ -124,18 +124,18 @@ def make_handler(cfg, segan, state):
     from segan_pytorch_tpu.utils.engine import build_enhancement_engine
     from segan_pytorch_tpu.utils.serving import MicroBatcher, StreamingEnhancer
 
-    # engine/batcher/cfg live in `state` so /admin/reload can swap them
-    # atomically (dict assignment under the GIL); in-flight requests keep
-    # the old objects alive until they finish
-    state["cfg"] = cfg
-    state["engine"] = segan
-    state["batcher"] = MicroBatcher(
+    # (cfg, engine, batcher) publish as ONE tuple so /admin/reload swaps are
+    # tear-free: a request snapshots state["gen"] once and uses a consistent
+    # generation end-to-end (pre-emphasis coefficient, engine, batcher must
+    # never mix across a reload)
+    state["gen"] = (cfg, segan, MicroBatcher(
         segan,
-        target_batch_seconds=state.get("target_batch_seconds", 0.0))
+        target_batch_seconds=state.get("target_batch_seconds", 0.0)))
     state.setdefault("batches_prev", 0)  # passes from engines retired by reload
     state.setdefault("reloads", 0)
     state.setdefault("enh_seconds_sum", 0.0)
-    state["mlock"] = threading.Lock()
+    state["mlock"] = threading.Lock()       # counters (requests/sums/passes)
+    state["reload_lock"] = threading.Lock()  # one reload at a time
     max_stream_s = float(state.get("max_stream_seconds", 0.0))
     auth_token = state.get("auth_token") or ""
     inflight = state["inflight"]
@@ -178,14 +178,16 @@ def make_handler(cfg, segan, state):
                 return self._metrics()
             if path != "/healthz":
                 return self._json(404, {"error": "unknown path"})
-            bt, c = state["batcher"], state["cfg"]
+            c, _, bt = state["gen"]
+            with state["mlock"]:
+                requests, bp = state["requests"], state["batches_prev"]
             self._json(200, {
                 "status": "draining" if state.get("draining") else "ok",
                 "model": "WSEGAN" if c.wsegan else "SEGAN",
                 "slice_size": c.slice_size,
                 "warm_s": state["warm_s"],
-                "requests": state["requests"],
-                "batches": state["batches_prev"] + bt.batches,
+                "requests": requests,
+                "batches": bp + bt.batches,
                 "batch_chunk_budget": bt.effective_max_chunks,
                 "inflight": inflight.count(),
                 "auth": bool(auth_token),
@@ -195,15 +197,15 @@ def make_handler(cfg, segan, state):
         def _metrics(self):
             """Prometheus text exposition (open like /healthz: scrapers are
             cluster-internal; the enhancement endpoints stay token-gated)."""
-            bt = state["batcher"]
+            bt = state["gen"][2]
             with state["mlock"]:
                 enh_sum = state["enh_seconds_sum"]
+                requests, bp = state["requests"], state["batches_prev"]
             lines = [
                 "# TYPE segan_requests_total counter",
-                f"segan_requests_total {state['requests']}",
+                f"segan_requests_total {requests}",
                 "# TYPE segan_device_passes_total counter",
-                f"segan_device_passes_total "
-                f"{state['batches_prev'] + bt.batches}",
+                f"segan_device_passes_total {bp + bt.batches}",
                 "# TYPE segan_inflight_requests gauge",
                 f"segan_inflight_requests {inflight.count()}",
                 "# TYPE segan_reloads_total counter",
@@ -288,20 +290,21 @@ def make_handler(cfg, segan, state):
                 return self._json(400, {"error": f"bad wav: {e}"})
             if rate != 16000:
                 return self._json(400, {"error": f"expected 16 kHz, got {rate}"})
+            gen_cfg, _, gen_batcher = state["gen"]  # one consistent generation
             try:
                 pwav = pre_emphasize_np(
                     np.asarray(normalize_wave_minmax(_as_int16(wav))),
-                    state["cfg"].preemph)
+                    gen_cfg.preemph)
             except ValueError as e:  # unsupported sample dtype etc.
                 return self._json(400, {"error": str(e)})
             try:
                 rng = None if seed is None else jax.random.PRNGKey(seed)
                 t0 = time.perf_counter()
                 # concurrent requests coalesce into one device pass
-                enh = state["batcher"].enhance(pwav, rng=rng, overlap=overlap)
+                enh = gen_batcher.enhance(pwav, rng=rng, overlap=overlap)
                 dt = time.perf_counter() - t0
-                state["requests"] += 1
                 with state["mlock"]:
+                    state["requests"] += 1
                     state["enh_seconds_sum"] += dt
             except Exception as e:  # surface model errors as 500s, keep serving
                 return self._json(500, {"error": str(e)})
@@ -332,24 +335,40 @@ def make_handler(cfg, segan, state):
             if not g_ckpt:
                 return self._json(400, {"error": "missing 'g_ckpt'"})
             cfg_file = req.get("cfg_file") or state["cfg_file"]
-            try:
-                ncfg, nengine = build_enhancement_engine(
-                    cfg_file, g_ckpt, state["seed"])
-                warm_s = float(state.get("warm_seconds", 0.2))
-                if warm_s > 0:
-                    nengine.generate(
-                        np.zeros(int(16000 * warm_s), np.float32))
-                nbatcher = MicroBatcher(
-                    nengine,
-                    target_batch_seconds=state.get("target_batch_seconds",
-                                                   0.0))
-            except Exception as e:
-                return self._json(500, {"error": f"reload failed: {e}"})
-            state["batches_prev"] += state["batcher"].batches
-            state["cfg"], state["engine"] = ncfg, nengine
-            state["batcher"] = nbatcher
-            state["cfg_file"] = cfg_file
-            state["reloads"] += 1
+            with state["reload_lock"]:  # one reload at a time
+                try:
+                    ncfg, nengine = build_enhancement_engine(
+                        cfg_file, g_ckpt, state["seed"])
+                    warm_s = float(state.get("warm_seconds", 0.2))
+                    if warm_s > 0:
+                        nengine.generate(
+                            np.zeros(int(16000 * warm_s), np.float32))
+                    nbatcher = MicroBatcher(
+                        nengine,
+                        target_batch_seconds=state.get(
+                            "target_batch_seconds", 0.0))
+                except Exception as e:
+                    return self._json(500, {"error": f"reload failed: {e}"})
+                old_batcher = state["gen"][2]
+                state["gen"] = (ncfg, nengine, nbatcher)  # tear-free publish
+                state["cfg_file"] = cfg_file
+                state["reloads"] += 1
+
+            def _retire(b=old_batcher):
+                # requests that snapshotted the old generation before the swap
+                # may still be enhancing on it (enhance timeout 120 s); close
+                # afterwards so its worker thread, jit caches, and device
+                # buffers are actually released instead of leaking per reload.
+                # Its final pass count folds into batches_prev on retirement.
+                time.sleep(150)
+                try:
+                    b.close()
+                finally:
+                    with state["mlock"]:
+                        state["batches_prev"] += b.batches
+
+            threading.Thread(target=_retire, daemon=True,
+                             name="batcher-retire").start()
             if state["verbose"]:
                 print(f"[serve] reloaded engine from {g_ckpt}", flush=True)
             return self._json(200, {"status": "reloaded", "g_ckpt": g_ckpt,
@@ -414,16 +433,17 @@ def make_handler(cfg, segan, state):
                 self.wfile.write(b"%x\r\n%s\r\n" % (len(data), data))
 
         def _enhance_stream(self, params, chunked):
+            gen_cfg, gen_engine, _ = state["gen"]  # one consistent generation
             try:
                 overlap = float(params.get("overlap", 0.25))
-                window = int(params.get("window", state["cfg"].slice_size))
+                window = int(params.get("window", gen_cfg.slice_size))
                 seed = int(params["seed"]) if "seed" in params else None
             except ValueError as e:
                 self.close_connection = True
                 return self._json(400, {"error": f"bad query param: {e}"})
             try:
                 rng = None if seed is None else jax.random.PRNGKey(seed)
-                streamer = StreamingEnhancer(state["engine"], window=window,
+                streamer = StreamingEnhancer(gen_engine, window=window,
                                              overlap=overlap, rng=rng)
             except ValueError as e:  # bad window/overlap
                 self.close_connection = True
@@ -480,7 +500,8 @@ def make_handler(cfg, segan, state):
                     # doesn't discard our written-but-unread response
                     self._drain_input_bounded()
                     self.close_connection = True
-                state["requests"] += 1
+                with state["mlock"]:
+                    state["requests"] += 1
                 if state["verbose"]:
                     dt = time.perf_counter() - t0
                     print(f"[serve] stream: {n_out} samples in {dt:.3f}s "

@@ -155,6 +155,15 @@ class TestWSEGANStep:
             assert jax.tree.structure(sh) == jax.tree.structure(bh)
         assert engine().generate_batch([]) == []
 
+        # pow2 row bucketing: 3 equal-length utterances -> one 4-row pass
+        # with an inert pad row; results still equal sequential
+        wavs3 = [rng.randn(3000).astype(np.float32) * 0.1 for _ in range(3)]
+        seq_e = engine()
+        seq3 = [seq_e.generate(w)[0] for w in wavs3]
+        bat3 = engine().generate_batch(wavs3)
+        for s, (b, _) in zip(seq3, bat3):
+            np.testing.assert_allclose(s, b, atol=1e-5, rtol=0)
+
     def test_generate_batch_no_z(self):
         ws = WSEGAN(small_cfg(wsegan=True, no_z=True))
         ws.init_state(batch_size=1)
