@@ -890,8 +890,9 @@ class SEGAN:
             if self._preempted:
                 print(f"[!] preempted at iteration {iteration - 1}: saving "
                       "checkpoint and stopping")
+                st_ck = self.state_for_ckpt()  # collective under multi-host TP
                 if is_chief:
-                    self.save(eoe_g_saver, eoe_d_saver, iteration)
+                    self.save(eoe_g_saver, eoe_d_saver, iteration, state=st_ck)
                 break
 
             if va_dloader is not None:
@@ -920,9 +921,10 @@ class SEGAN:
                           f"{best_val_obj} -> {val_obj}")
                     best_val_obj = val_obj
                     patience = cfg.patience
+                    st_ck = self.state_for_ckpt()  # collective under mh TP
                     if is_chief:
                         self.save(best_saver_g, best_saver_d, iteration,
-                                  best_val=True)
+                                  best_val=True, state=st_ck)
                 else:
                     patience -= 1
                     print(f"Val loss did not improve. Patience {patience}/{cfg.patience}")
@@ -932,25 +934,51 @@ class SEGAN:
 
             if epoch % max(1, getattr(cfg, "eoe_save_every", 1)) == 0 \
                     or epoch == cfg.epoch:
+                st_ck = self.state_for_ckpt()  # collective under multi-host TP
                 if is_chief:
-                    self.save(eoe_g_saver, eoe_d_saver, iteration)
+                    self.save(eoe_g_saver, eoe_d_saver, iteration, state=st_ck)
         restore_sig()
         for sv in (eoe_g_saver, eoe_d_saver, best_saver_g, best_saver_d):
             sv.flush()  # all checkpoint bytes on disk before train() returns
         self.close_pool()  # don't leak eval workers past the training run
 
-    def save(self, g_saver: Saver, d_saver: Saver, step: int, best_val: bool = False):
+    def state_for_ckpt(self):
+        """Checkpoint view of the state. Under multi-host TENSOR parallelism
+        the D-head leaves are sharded across hosts (not host-local), so they
+        are gathered to replicated here — a COLLECTIVE: when process_count>1
+        and the mesh has a model axis, EVERY process must call this (the
+        chief-gated save() call sites do). No-op (returns self.state) in all
+        other configurations."""
+        st = self.state
+        if (self.mesh is None or "model" not in self.mesh.axis_names
+                or self.mesh.shape.get("model", 1) <= 1):
+            return st
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self.mesh, P())
+
+        def fix(x):
+            if isinstance(x, jax.Array) and not getattr(
+                    x.sharding, "is_fully_replicated", True):
+                return jax.device_put(x, rep)  # cross-sharding allgather
+            return x
+
+        return jax.tree.map(fix, st)
+
+    def save(self, g_saver: Saver, d_saver: Saver, step: int,
+             best_val: bool = False, state=None):
         # device arrays are handed to the Saver as-is: an async Saver snapshots them
         # on-device and moves the D2H transfer off the training thread; a sync Saver
         # transfers inside _save_impl (flatten_tree's np.asarray)
         from flax import serialization
 
-        g_tree = {"params": self.state.g_params, **self.state.g_vars}
-        g_opt = serialization.to_state_dict(self.state.g_opt)
+        state = state if state is not None else self.state_for_ckpt()
+        g_tree = {"params": state.g_params, **state.g_vars}
+        g_opt = serialization.to_state_dict(state.g_opt)
         g_saver.save("Generator", step, g_tree, opt_tree=g_opt, best_val=best_val)
-        if self.D is not None and self.state.d_params is not None:
-            d_tree = {"params": self.state.d_params, **self.state.d_vars}
-            d_opt = serialization.to_state_dict(self.state.d_opt)
+        if self.D is not None and state.d_params is not None:
+            d_tree = {"params": state.d_params, **state.d_vars}
+            d_opt = serialization.to_state_dict(state.d_opt)
             d_saver.save("Discriminator", step, d_tree, opt_tree=d_opt,
                          best_val=best_val)
 

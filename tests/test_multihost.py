@@ -178,6 +178,23 @@ for k, v in mtp.items():
     assert np.isfinite(v), (k, v)
 print("MHTP", pid, " ".join(f"{k}={v:.6f}" for k, v in sorted(mtp.items())), flush=True)
 
+# TP checkpointing: the D-head shards live across hosts, so state_for_ckpt()
+# is a COLLECTIVE gather every process enters; only the chief writes. A fresh
+# dp-only engine must resume the identical params everywhere.
+tp_dir = os.environ["MH_RESUME_DIR"] + "_tp"
+st_ck = segan_tp.state_for_ckpt()
+if pid == 0:
+    segan_tp.save(Saver(tp_dir, max_ckpts=3, prefix="EOE_G-"),
+                  Saver(tp_dir, max_ckpts=3, prefix="EOE_D-"),
+                  step=9, state=st_ck)
+multihost_utils.process_allgather(np.int32(pid))  # ckpt visible to all
+segan_tp2 = SEGAN(cfg)  # dp-only config
+segan_tp2.init_state(jax.random.PRNGKey(pid + 321), batch_size=GLOBAL_B)
+assert segan_tp2.resume(tp_dir) == 9
+dsum = float(sum(jnp.sum(jnp.abs(x))
+                 for x in jax.tree.leaves(segan_tp2.state.d_params)))
+print(f"MHTPSAVE {pid} dsum={dsum:.6f}", flush=True)
+
 # Explicit shutdown at a point where all processes are still in lockstep (the
 # evaluate() allgather just synced them): the atexit shutdown barrier has a
 # hard 30 s deadline, and on a loaded single-core box a straggler's interpreter
@@ -294,6 +311,10 @@ def test_multi_process_train_step(tmp_path, nproc, ndev):
            for o in outs]
     csums = {ln.split()[-1] for ln in res}
     assert len(csums) == 1, res
+    # TP checkpoint: gathered chief write, identical resume on every process
+    tps = [next(ln for ln in o.splitlines() if ln.startswith("MHTPSAVE"))
+           for o in outs]
+    assert len({ln.split()[-1] for ln in tps}) == 1, tps
 
 
 @pytest.mark.skipif(sys.platform != "linux", reason="gloo smoke is linux-only")
