@@ -24,6 +24,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 # Global default precision for conv/matmul. jax's DEFAULT downcasts fp32 operands to
@@ -99,7 +100,17 @@ def conv1d(
     use_custom = stride > 1 and dilation == 1 and (
         mode == "custom"
         or (mode == "auto" and _custom_grad_wins(x.shape[2], kernel.shape[2], stride)))
-    if use_custom:
+    # SEGAN_TPU_EDGE_CONV=s2d: space-to-depth lowering for the tiny-Cin edge
+    # layers (G enc1 Cin=1, D conv1 Cin=2), whose Cin*K contraction starves
+    # the 128-lane MXU minor dim (measured 0.4% of roofline at batch 300,
+    # docs/PROFILE_B300.md). Pure XLA (reshape + stride-1 conv), so autodiff
+    # and producer/consumer fusion work natively — no custom-VJP barrier.
+    use_s2d = (os.environ.get("SEGAN_TPU_EDGE_CONV", "0") not in ("0", "")
+               and stride > 1 and dilation == 1
+               and x.shape[2] * kernel.shape[0] <= 64)
+    if use_s2d:
+        y = conv1d_s2d(x, kernel, stride=stride, precision=precision)
+    elif use_custom:
         # custom backward: blocked-transpose dx + phase-dot dw (see bottom of file)
         y = _conv1d_cg(x, kernel, stride, precision)
     else:
@@ -117,6 +128,69 @@ def conv1d(
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
+
+
+def _s2d_strided_kernel(kernel: jax.Array, stride: int, block: int) -> jax.Array:
+    """Fold a (K, Cin, Cout) strided-conv kernel into the space-to-depth form
+    W' (K_b, block*Cin, phases*Cout): with inputs viewed as rows of `block`
+    samples and outputs as rows of `phases = block/stride` samples,
+    W'[j, i*Cin+ci, r*Cout+co] = kernel[block*j + i - stride*r, ci, co]
+    (zero where the tap index falls outside [0, K))."""
+    K, Cin, Cout = kernel.shape
+    phases = block // stride
+    K_b = (K - 1 + block - stride) // block + 1
+    j = np.arange(K_b)[:, None, None]
+    i = np.arange(block)[None, :, None]
+    r = np.arange(phases)[None, None, :]
+    kidx = block * j + i - stride * r  # (K_b, block, phases)
+    valid = (kidx >= 0) & (kidx < K)
+    kc = jnp.asarray(np.clip(kidx, 0, K - 1))
+    wp = jnp.take(kernel, kc.reshape(-1), axis=0).reshape(
+        K_b, block, phases, Cin, Cout)
+    wp = jnp.where(jnp.asarray(valid)[..., None, None], wp, 0)
+    # (K_b, block, Cin, phases, Cout) -> (K_b, block*Cin, phases*Cout)
+    return wp.transpose(0, 1, 3, 2, 4).reshape(K_b, block * Cin, phases * Cout)
+
+
+def conv1d_s2d(
+    x: jax.Array,
+    kernel: jax.Array,
+    stride: int,
+    block: Optional[int] = None,
+    precision=DEFAULT_PRECISION,
+) -> jax.Array:
+    """Strided VALID conv of pre-padded x via space-to-depth time folding.
+
+    Bit-for-bit the same math as conv1d(x, kernel, stride=stride) — `block`
+    input samples fold into channels so the contraction runs over
+    K_b x block*Cin instead of K x Cin, putting the tiny-Cin edge layers'
+    work on MXU lanes. The trailing zero-pad added for row alignment is only
+    ever multiplied by the zero entries of the folded kernel, so results are
+    unaffected. Everything is reshape + stride-1 conv: gradients and XLA
+    fusion behave exactly like the plain lowering (no custom VJP)."""
+    B, Lp, Cin = x.shape
+    K, _, Cout = kernel.shape
+    if block is None:
+        # aim the folded contraction (K_b * block * Cin) at the 128-lane dim
+        block = max(stride, (64 // max(Cin, 1)) // stride * stride)
+    phases = block // stride
+    T_out = (Lp - K) // stride + 1
+    U = -(-T_out // phases)  # ceil: U rows of `phases` outputs
+    K_b = (K - 1 + block - stride) // block + 1
+    need = (U - 1 + K_b) * block  # last input sample touched + 1
+    if need > Lp:
+        x = jnp.pad(x, ((0, 0), (0, need - Lp), (0, 0)))
+    elif Lp % block:
+        x = jnp.pad(x, ((0, 0), (0, block - Lp % block), (0, 0)))
+    xb = x.reshape(B, -1, block * Cin)
+    wp = _s2d_strided_kernel(kernel, stride, block).astype(kernel.dtype)
+    dn = lax.conv_dimension_numbers(
+        (B, U - 1 + K_b, block * Cin), wp.shape, ("NWC", "WIO", "NWC"))
+    yb = lax.conv_general_dilated(
+        xb[:, : U - 1 + K_b, :], wp, window_strides=(1,), padding="VALID",
+        dimension_numbers=dn, precision=precision)
+    y = yb.reshape(B, U * phases, Cout)
+    return y[:, :T_out, :]
 
 
 def conv_transpose1d(

@@ -371,3 +371,87 @@ class TestCustomConvGrads:
         gw0 = jax.grad(loss_w)(w, "xla")
         gw1 = jax.grad(loss_w)(w, "custom")
         np.testing.assert_allclose(np.asarray(gw0), np.asarray(gw1), atol=2e-4)
+
+
+class TestS2DEdgeConv:
+    """Space-to-depth lowering for tiny-Cin strided convs (SEGAN_TPU_EDGE_CONV=s2d):
+    bit-equal forward (identical FLOPs reassociated onto MXU lanes) and matching
+    gradients vs the plain lowering."""
+
+    @pytest.mark.parametrize("cin,T,K,s", [
+        (1, 16384, 31, 4),   # G enc1
+        (2, 1024, 31, 4),    # D conv1
+        (1, 512, 31, 2),
+        (2, 500, 15, 5),     # non-pow2 stride, T not aligned to any block
+    ])
+    def test_matches_plain_conv(self, cin, T, K, s):
+        from segan_pytorch_tpu.ops.conv import (conv1d, conv1d_s2d,
+                                                reflect_pad_1d)
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, T, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(K, cin, 8).astype(np.float32) * 0.1)
+        xp = reflect_pad_1d(x, K // 2 - 1, K // 2)
+        ref = conv1d(xp, w, stride=s)
+        got = conv1d_s2d(xp, w, stride=s)
+        assert got.shape == ref.shape
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+        gx_ref = jax.grad(lambda a: jnp.sum(
+            conv1d(reflect_pad_1d(a, K // 2 - 1, K // 2), w, stride=s) ** 2))(x)
+        gx_s2d = jax.grad(lambda a: jnp.sum(
+            conv1d_s2d(reflect_pad_1d(a, K // 2 - 1, K // 2), w,
+                       stride=s) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(gx_s2d), np.asarray(gx_ref),
+                                   atol=1e-4)
+        gw_ref = jax.grad(lambda ww: jnp.sum(conv1d(xp, ww, stride=s) ** 2))(w)
+        gw_s2d = jax.grad(
+            lambda ww: jnp.sum(conv1d_s2d(xp, ww, stride=s) ** 2))(w)
+        np.testing.assert_allclose(np.asarray(gw_s2d), np.asarray(gw_ref),
+                                   atol=1e-2, rtol=1e-5)
+
+    def test_env_dispatch_gates_on_cin(self, monkeypatch):
+        """The env flag reroutes only the tiny-Cin edge shapes (Cin*K <= 64);
+        fat layers keep the plain lowering (where XLA already wins)."""
+        from segan_pytorch_tpu.ops.conv import conv1d
+
+        rng = np.random.RandomState(1)
+        x1 = jnp.asarray(rng.randn(2, 16413, 1).astype(np.float32))
+        w1 = jnp.asarray(rng.randn(31, 1, 64).astype(np.float32) * 0.1)
+        x2 = jnp.asarray(rng.randn(2, 1024, 64).astype(np.float32))
+        w2 = jnp.asarray(rng.randn(31, 64, 32).astype(np.float32) * 0.1)
+        monkeypatch.setenv("SEGAN_TPU_EDGE_CONV", "0")
+        ref1, ref2 = conv1d(x1, w1, stride=4), conv1d(x2, w2, stride=4)
+        monkeypatch.setenv("SEGAN_TPU_EDGE_CONV", "s2d")
+        got1, got2 = conv1d(x1, w1, stride=4), conv1d(x2, w2, stride=4)
+        np.testing.assert_array_equal(np.asarray(got1), np.asarray(ref1))
+        np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref2))
+
+    def test_full_train_step_equal(self, monkeypatch, tmp_path):
+        """The fused SEGAN step under the flag reproduces the default step's
+        losses (fresh engines -> fresh jits; env is read at trace time)."""
+        from segan_pytorch_tpu.utils.config import SEGANConfig
+        from segan_pytorch_tpu.models import SEGAN
+
+        def run(flag):
+            monkeypatch.setenv("SEGAN_TPU_EDGE_CONV", flag)
+            cfg = SEGANConfig(slice_size=1024, genc_fmaps=[8, 16, 32],
+                              genc_poolings=[4, 4, 4], z_dim=32,
+                              denc_fmaps=[8, 16, 32], denc_poolings=[4, 4, 4],
+                              dpool_slen=16, batch_size=4,
+                              save_path=str(tmp_path))
+            s = SEGAN(cfg)
+            s.init_state(jax.random.PRNGKey(0), batch_size=4)
+            s.prepare_train(4)
+            rng = np.random.RandomState(3)
+            clean = rng.randn(4, 1024, 1).astype(np.float32) * 0.1
+            noisy = clean + rng.randn(4, 1024, 1).astype(np.float32) * 0.05
+            m, _, _ = s.train_step(clean, noisy, np.ones((4,), np.float32),
+                                   jax.random.PRNGKey(1), 100.0)
+            return {k: float(v) for k, v in m.items()}
+
+        base = run("0")
+        s2d = run("s2d")
+        for k in base:
+            assert abs(base[k] - s2d[k]) <= 1e-4 * (abs(base[k]) + 1e-3), \
+                (k, base[k], s2d[k])

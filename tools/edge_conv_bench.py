@@ -26,14 +26,20 @@ import numpy as np
 from segan_pytorch_tpu.ops.conv import conv1d, conv_transpose1d, reflect_pad_1d
 
 
+def _force(out):
+    # scalar-sum completion fetch: block_until_ready can return early on the
+    # remote 'axon' platform (BENCH.md r3 honest re-measure note)
+    return float(jnp.sum(out.astype(jnp.float32)))
+
+
 def timeit(fn, *args, n=20, warmup=3):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     return (time.perf_counter() - t0) / n
 
 
