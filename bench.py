@@ -55,6 +55,35 @@ def main():
                              "'aewsegan' the G-only autoencoder step (adam)")
     args = parser.parse_args()
 
+    import os
+
+    # Fail FAST (one diagnostic JSON line) instead of hanging forever when the
+    # remote chip grant is wedged (BENCH.md environment caveats): probe the
+    # backend with a tiny matmul in a bounded SUBPROCESS — the hang lives
+    # inside PJRT client init, which has no timeout knob in-process.
+    # SEGAN_TPU_BENCH_PROBE=0 skips; CPU-forced runs never dial the relay.
+    if (os.environ.get("SEGAN_TPU_BENCH_PROBE", "1") != "0"
+            and os.environ.get("SEGAN_TPU_PLATFORM") != "cpu"):
+        import subprocess
+        import sys
+
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "print(float(jnp.sum(jnp.ones((8, 8)) @ jnp.ones((8, 8)))))"],
+                timeout=float(os.environ.get("SEGAN_TPU_BENCH_PROBE_S", "900")),
+                capture_output=True, check=True)
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            print(json.dumps({
+                "metric": "train_slices_per_sec_per_chip", "value": 0.0,
+                "unit": "slices/s/chip", "vs_baseline": 0.0,
+                "error": f"device probe failed ({type(e).__name__}): the "
+                         "remote chip grant is unreachable/wedged — see "
+                         "BENCH.md environment caveats; last healthy "
+                         "measurement is recorded there"}))
+            raise SystemExit(2)
+
     import jax
 
     from segan_pytorch_tpu.utils.cache import enable_compilation_cache
