@@ -14,7 +14,7 @@ Reference parity citations appear as ``ref: <file>:<line>`` in docstrings and po
 the upstream repo (mounted read-only at /root/reference).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # keep in sync with pyproject.toml
 
 from . import ops  # noqa: F401
 from . import models  # noqa: F401
