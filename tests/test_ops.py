@@ -455,3 +455,36 @@ class TestS2DEdgeConv:
         for k in base:
             assert abs(base[k] - s2d[k]) <= 1e-4 * (abs(base[k]) + 1e-3), \
                 (k, base[k], s2d[k])
+
+    def test_full_train_step_equal_combined_edge_lowerings(self, monkeypatch,
+                                                           tmp_path):
+        """The queued perf matrix's 'both' configuration (s2d edge convs +
+        edge-blocked deconv for the Cout=1 output layer) is step-equal to the
+        default path — the TPU measurement can flip defaults without a
+        correctness question."""
+        from segan_pytorch_tpu.utils.config import SEGANConfig
+        from segan_pytorch_tpu.models import SEGAN
+
+        def run(edge, deconv):
+            monkeypatch.setenv("SEGAN_TPU_EDGE_CONV", edge)
+            monkeypatch.setenv("SEGAN_TPU_DECONV", deconv)
+            cfg = SEGANConfig(slice_size=1024, genc_fmaps=[8, 16, 32],
+                              genc_poolings=[4, 4, 4], z_dim=32,
+                              denc_fmaps=[8, 16, 32], denc_poolings=[4, 4, 4],
+                              dpool_slen=16, batch_size=4,
+                              save_path=str(tmp_path))
+            s = SEGAN(cfg)
+            s.init_state(jax.random.PRNGKey(0), batch_size=4)
+            s.prepare_train(4)
+            rng = np.random.RandomState(3)
+            clean = rng.randn(4, 1024, 1).astype(np.float32) * 0.1
+            noisy = clean + rng.randn(4, 1024, 1).astype(np.float32) * 0.05
+            m, _, _ = s.train_step(clean, noisy, np.ones((4,), np.float32),
+                                   jax.random.PRNGKey(1), 100.0)
+            return {k: float(v) for k, v in m.items()}
+
+        base = run("0", "dilated")
+        both = run("s2d", "edge-blocked")
+        for k in base:
+            assert abs(base[k] - both[k]) <= 1e-4 * (abs(base[k]) + 1e-3), \
+                (k, base[k], both[k])
