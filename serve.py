@@ -29,6 +29,16 @@ common chunk buckets, then serves:
                               overlap (default 0.25), window (samples, must
                               divide by the generator pooling; smaller window
                               = lower latency).
+  WS   /enhance_stream     -> (--ws_port) the same streaming contract over a
+                              WebSocket: binary frames of raw PCM16 in,
+                              binary frames of enhanced PCM16 out, a text
+                              frame "end" finalizes the tail and the server
+                              answers with a JSON "done" frame. Unlike
+                              chunked HTTP, the protocol keeps NATed / LB'd
+                              connections alive through arbitrarily long
+                              input gaps (server pings every
+                              --ws_ping_interval seconds). Same query params
+                              and bearer-token gate as the HTTP endpoint.
 
 Concurrency: requests are served by a thread pool (ThreadingHTTPServer); a
 MicroBatcher (utils/serving.py) coalesces concurrent /enhance requests into ONE
@@ -192,6 +202,7 @@ def make_handler(cfg, segan, state):
                 "inflight": inflight.count(),
                 "auth": bool(auth_token),
                 "reloads": state["reloads"],
+                "ws_port": state.get("ws_port", 0),
             })
 
         def _metrics(self):
@@ -520,6 +531,138 @@ def make_handler(cfg, segan, state):
     return Handler
 
 
+def make_ws_handler(state):
+    """WebSocket flavor of /enhance_stream (served on --ws_port).
+
+    Completes the streaming surface for long-lived sessions: chunked HTTP
+    cannot ping during input gaps, so idle streams die at NAT/LB timeouts;
+    WebSocket keepalive (server→client pings, handled by the `websockets`
+    connection thread) holds the session open however long the client stays
+    silent. Protocol:
+
+      client → server  binary frame: raw 16 kHz PCM16 LE audio, any size
+                       text frame "end" (or "flush"): finalize the stream
+      server → client  binary frame: enhanced PCM16 as samples finalize
+                       text frame (after "end"): JSON {"event": "done",
+                       "samples_out": N, "truncated": bool}, then a clean
+                       close
+
+    Auth, query params (seed/overlap/window), the per-session z, the
+    bounded-latency emission rule, and the max_stream_seconds cap all match
+    the HTTP endpoint — same StreamingEnhancer underneath, so for the same
+    seed the two endpoints produce byte-identical PCM.
+    """
+    import numpy as np
+
+    import jax
+
+    from websockets.exceptions import ConnectionClosed
+
+    from segan_pytorch_tpu.ops.signal import normalize_wave_minmax
+    from segan_pytorch_tpu.utils.serving import StreamingEnhancer
+
+    auth_token = state.get("auth_token") or ""
+    max_stream_s = float(state.get("max_stream_seconds", 0.0))
+    inflight = state["inflight"]
+
+    def _params(query):
+        params = {}
+        for kv in query.split("&"):
+            if "=" in kv:
+                k, _, v = kv.partition("=")
+                params[unquote(k)] = unquote(v)
+        return params
+
+    def handler(ws):
+        if auth_token:  # same bearer gate as the HTTP POST endpoints
+            header = ws.request.headers.get("Authorization", "")
+            if not (header.startswith("Bearer ")
+                    and hmac.compare_digest(header[7:].encode("utf-8"),
+                                            auth_token.encode("utf-8"))):
+                ws.close(code=1008, reason="unauthorized")
+                return
+        path, _, query = ws.request.path.partition("?")
+        if path != "/enhance_stream":
+            ws.close(code=1008, reason="unknown path")
+            return
+        gen_cfg, gen_engine, _ = state["gen"]  # one consistent generation
+        try:
+            params = _params(query)
+            overlap = float(params.get("overlap", 0.25))
+            window = int(params.get("window", gen_cfg.slice_size))
+            seed = int(params["seed"]) if "seed" in params else None
+            rng = None if seed is None else jax.random.PRNGKey(seed)
+            streamer = StreamingEnhancer(gen_engine, window=window,
+                                         overlap=overlap, rng=rng)
+        except ValueError as e:  # bad query param / window / overlap
+            ws.close(code=1008, reason=str(e)[:120])
+            return
+        with inflight:
+            carry = b""
+            t0 = time.perf_counter()
+            n_out = 0
+            truncated = False
+            while True:
+                # bounded recv: enforces the session wall-clock cap and lets a
+                # SIGTERM drain finalize idle sessions promptly (connection
+                # threads are non-daemon — they must not outlive the drain)
+                remaining = (max_stream_s - (time.perf_counter() - t0)
+                             if max_stream_s > 0 else 1e9)
+                if remaining <= 0:
+                    truncated = True
+                    break
+                try:
+                    msg = ws.recv(timeout=min(remaining, 1.0))
+                except TimeoutError:
+                    if state.get("draining"):
+                        truncated = True
+                        break
+                    continue  # idle gap: keepalive pings hold the connection
+                except ConnectionClosed:
+                    return  # client gone without "end": no one to finalize to
+                if isinstance(msg, str):
+                    if msg.strip().lower() in ("end", "flush"):
+                        break
+                    continue  # unknown text frames ignored (forward compat)
+                carry += msg
+                usable = len(carry) - (len(carry) % 2)
+                if not usable:
+                    continue
+                pcm = np.frombuffer(carry[:usable], dtype="<i2")
+                carry = carry[usable:]
+                out = streamer.feed(
+                    np.asarray(normalize_wave_minmax(pcm), np.float32))
+                if out.size:
+                    pcm_out = np.clip(out * 32767.0, -32768,
+                                      32767).astype("<i2")
+                    n_out += pcm_out.size
+                    try:
+                        ws.send(pcm_out.tobytes())
+                    except ConnectionClosed:
+                        return
+            out = streamer.flush()
+            pcm_out = np.clip(out * 32767.0, -32768, 32767).astype("<i2")
+            n_out += pcm_out.size
+            try:
+                if pcm_out.size:
+                    ws.send(pcm_out.tobytes())
+                ws.send(json.dumps({"event": "done", "samples_out": n_out,
+                                    "truncated": truncated}))
+                ws.close()
+            except ConnectionClosed:
+                pass
+            with state["mlock"]:
+                state["requests"] += 1
+            if state["verbose"]:
+                dt = time.perf_counter() - t0
+                print(f"[serve] ws stream: {n_out} samples in {dt:.3f}s "
+                      f"(window {window}, overlap {overlap}"
+                      f"{', TRUNCATED at session limit' if truncated else ''})",
+                      flush=True)
+
+    return handler
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--g_pretrained_ckpt", required=True)
@@ -538,6 +681,14 @@ def main():
                    help=">0: adapt the MicroBatcher chunk budget so one "
                         "coalesced device pass stays under this latency "
                         "(measured from warm batches; 0 = fixed budget)")
+    p.add_argument("--ws_port", type=int, default=0,
+                   help="also serve /enhance_stream over WebSocket on this "
+                        "port (0 = off): binary PCM16 frames in/out, text "
+                        "'end' finalizes; server pings keep idle sessions "
+                        "alive through NAT/LB timeouts (same auth/TLS)")
+    p.add_argument("--ws_ping_interval", type=float, default=20.0,
+                   help="seconds between WebSocket keepalive pings during "
+                        "input gaps (0 = disable pings)")
     p.add_argument("--auth_token", default=None,
                    help="require 'Authorization: Bearer <token>' on /enhance "
                         "and /enhance_stream (/healthz stays open); defaults "
@@ -577,9 +728,11 @@ def main():
         segan.generate(np.zeros(int(16000 * opts.warm_seconds), np.float32))
         state["warm_s"] = round(time.perf_counter() - t0, 3)
         print(f"[serve] warm compile done in {state['warm_s']} s")
+    state["ws_port"] = opts.ws_port
     srv = ThreadingHTTPServer((opts.host, opts.port),
                               make_handler(cfg, segan, state))
     scheme = "http"
+    ctx = None
     if opts.tls_cert:
         import ssl
 
@@ -590,6 +743,20 @@ def main():
         srv.socket = ctx.wrap_socket(srv.socket, server_side=True,
                                      do_handshake_on_connect=False)
         scheme = "https"
+    ws_srv = None
+    if opts.ws_port:
+        from websockets.sync.server import serve as ws_serve
+
+        ws_srv = ws_serve(make_ws_handler(state), opts.host, opts.ws_port,
+                          ssl=ctx,
+                          ping_interval=opts.ws_ping_interval or None,
+                          max_size=16 * 1024 * 1024)
+        threading.Thread(target=ws_srv.serve_forever, daemon=True,
+                         name="ws-server").start()
+        print(f"[serve] websocket streaming on "
+              f"{'wss' if ctx else 'ws'}://{opts.host}:{opts.ws_port}"
+              f"/enhance_stream (ping every {opts.ws_ping_interval:g}s)",
+              flush=True)
 
     def _graceful_stop(signum, _frame):
         state["draining"] = True
@@ -599,6 +766,9 @@ def main():
         # shutdown() blocks until serve_forever exits — must not run in the
         # signal handler's (main) thread, which IS inside serve_forever
         threading.Thread(target=srv.shutdown, daemon=True).start()
+        if ws_srv is not None:  # stop accepting ws sessions too; in-flight
+            threading.Thread(target=ws_srv.shutdown,  # ones see 'draining'
+                             daemon=True).start()
 
     signal.signal(signal.SIGTERM, _graceful_stop)
     signal.signal(signal.SIGINT, _graceful_stop)

@@ -518,3 +518,146 @@ class TestServeDeployment:
             log_f.close()
         log_text = (tiny_ckpt / "server_29781.log").read_text()
         assert "shutdown complete" in log_text
+
+
+class TestServeWebSocket:
+    """WebSocket flavor of /enhance_stream (--ws_port): keepalive through
+    input gaps, parity with the chunked-HTTP endpoint, auth, error paths."""
+
+    @pytest.fixture(scope="class")
+    def ws_server(self, tiny_ckpt):
+        # aggressive 0.3 s ping interval so the gap test exercises several
+        # keepalive rounds in ~1 s of idle time
+        base, proc, log_f = _launch_server(
+            tiny_ckpt, 29784,
+            ("--ws_port", "29884", "--ws_ping_interval", "0.3"))
+        yield base, 29884
+        proc.kill()
+        proc.wait(timeout=10)
+        log_f.close()
+
+    @staticmethod
+    def _pcm(n=2500, seed=5):
+        rng = np.random.RandomState(seed)
+        t = np.arange(n) / 16000.0
+        x = 0.3 * np.sin(2 * np.pi * 220 * t) + 0.02 * rng.randn(n)
+        return (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+
+    @staticmethod
+    def _ws_stream(port, pcm_bytes, query, pieces, gap=0.0, token=None):
+        """Feed pcm_bytes over the WebSocket in `pieces`-sized binary frames
+        (sleeping `gap` seconds between them), send 'end', and collect the
+        enhanced PCM + the final JSON 'done' frame."""
+        from websockets.sync.client import connect
+
+        headers = {"Authorization": f"Bearer {token}"} if token else None
+        out = b""
+        done = None
+        with connect(f"ws://127.0.0.1:{port}/enhance_stream?{query}",
+                     additional_headers=headers, open_timeout=60) as ws:
+            pos = 0
+            for sz in pieces:
+                piece = pcm_bytes[pos: pos + sz]
+                pos += len(piece)
+                if piece:
+                    ws.send(piece)
+                if gap:
+                    time.sleep(gap)
+            if pos < len(pcm_bytes):
+                ws.send(pcm_bytes[pos:])
+            ws.send("end")
+            while True:
+                msg = ws.recv(timeout=120)
+                if isinstance(msg, str):
+                    done = json.loads(msg)
+                    break
+                out += msg
+        return np.frombuffer(out, dtype="<i2"), done
+
+    def test_ws_matches_http_stream_and_survives_idle_gaps(self, ws_server):
+        """The WS endpoint produces byte-identical PCM to the chunked-HTTP
+        endpoint for the same seed, even when the client goes silent for
+        several ping intervals mid-stream (the keepalive gap chunked HTTP
+        cannot cover)."""
+        base, ws_port = ws_server
+        n = 2500
+        pcm = self._pcm(n)
+        query = "seed=3&overlap=0.25&window=1024"
+        # HTTP chunked reference on the SAME server process
+        import http.client
+
+        conn = http.client.HTTPConnection(base.split("//")[1], timeout=120)
+        try:
+            conn.putrequest("POST", "/enhance_stream?" + query)
+            conn.putheader("Transfer-Encoding", "chunked")
+            conn.endheaders()
+            conn.send(f"{len(pcm):x}\r\n".encode() + pcm + b"\r\n0\r\n\r\n")
+            resp = conn.getresponse()
+            assert resp.status == 200
+            http_out = np.frombuffer(resp.read(), dtype="<i2")
+        finally:
+            conn.close()
+        # WS with ~1.2 s of idle gaps (4 ping intervals) spread over the feed
+        ws_out, done = self._ws_stream(ws_port, pcm, query,
+                                       pieces=(800, 1602, 998), gap=0.4)
+        assert done["event"] == "done"
+        assert not done["truncated"]
+        assert done["samples_out"] == n
+        assert ws_out.shape == (n,)
+        np.testing.assert_array_equal(ws_out, http_out)
+
+    def test_ws_deterministic_per_seed(self, ws_server):
+        _, ws_port = ws_server
+        pcm = self._pcm(2048, seed=7)
+        a, _ = self._ws_stream(ws_port, pcm, "seed=11&window=1024",
+                               pieces=(4096,))
+        b, _ = self._ws_stream(ws_port, pcm, "seed=11&window=1024",
+                               pieces=(100, 3000, 996))
+        np.testing.assert_array_equal(a, b)
+
+    def test_ws_bad_window_closes_1008(self, ws_server):
+        from websockets.exceptions import ConnectionClosedError
+        from websockets.sync.client import connect
+
+        _, ws_port = ws_server
+        with pytest.raises(ConnectionClosedError) as ei:
+            with connect(f"ws://127.0.0.1:{ws_port}/enhance_stream"
+                         f"?window=1000", open_timeout=60) as ws:
+                ws.recv(timeout=30)
+        assert ei.value.rcvd.code == 1008
+
+    def test_ws_unknown_path_closes_1008(self, ws_server):
+        from websockets.exceptions import ConnectionClosedError
+        from websockets.sync.client import connect
+
+        _, ws_port = ws_server
+        with pytest.raises(ConnectionClosedError) as ei:
+            with connect(f"ws://127.0.0.1:{ws_port}/other",
+                         open_timeout=60) as ws:
+                ws.recv(timeout=30)
+        assert ei.value.rcvd.code == 1008
+
+    def test_ws_auth_token(self, tiny_ckpt):
+        from websockets.exceptions import ConnectionClosedError
+        from websockets.sync.client import connect
+
+        base, proc, log_f = _launch_server(
+            tiny_ckpt, 29785,
+            ("--ws_port", "29885", "--auth_token", "ws-sekrit"))
+        try:
+            # no token -> policy-violation close before any audio is read
+            with pytest.raises(ConnectionClosedError) as ei:
+                with connect("ws://127.0.0.1:29885/enhance_stream",
+                             open_timeout=60) as ws:
+                    ws.recv(timeout=30)
+            assert ei.value.rcvd.code == 1008
+            # correct bearer token -> full roundtrip
+            pcm = self._pcm(1500)
+            out, done = self._ws_stream(29885, pcm, "seed=1&window=1024",
+                                        pieces=(3000,), token="ws-sekrit")
+            assert out.shape == (1500,)
+            assert done["samples_out"] == 1500
+        finally:
+            proc.kill()
+            proc.wait(timeout=10)
+            log_f.close()
