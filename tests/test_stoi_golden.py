@@ -160,3 +160,93 @@ class TestSTOIGolden:
 # transliteration directly if the fixtures ever change
 GOLDEN_10K = 0.36949296363877726
 GOLDEN_SELF = 1.0
+
+
+class TestSTOIPaperProperties:
+    """Implementation-INDEPENDENT checks derived from the STOI paper
+    (Taal et al., IEEE TASLP 2011) rather than from stoi.m — a guard against a
+    shared misreading of the MATLAB source reproduced in both the production
+    code and the transliteration above.
+
+    Paper facts exercised:
+    - eq. (2)-(5): the intermediate measure is a CORRELATION of a
+      clean-energy-normalized, clipped degraded segment -> invariant to any
+      positive rescaling of either input (alpha absorbs it; the clip bound
+      scales with the clean segment; silent-frame masking is relative to the
+      per-signal max).
+    - d(x, x) = 1 exactly (perfect correlation in every band/segment).
+    - an uncorrelated degraded signal gives d near 0 (correlations of
+      independent sequences concentrate around zero).
+    - the 1/3-octave filterbank: 15 bands, center frequencies
+      cf(k) = 2^(k/3)*150 Hz, band edges at sqrt(cf(k-1)*cf(k)) — bands must
+      tile the spectrum contiguously (no gaps, no overlaps) and each FFT bin
+      must land in the band whose [fl, fr) interval contains it (to argmin
+      rounding of half a bin).
+    """
+
+    def test_scale_invariance_both_signals(self):
+        clean = _speechlike(30000, 11)
+        noisy = clean + 0.2 * np.random.RandomState(42).randn(len(clean))
+        base = stoi(clean, noisy, fs_sig=10000)
+        for a in (1e-3, 0.5, 7.0, 1e3):
+            np.testing.assert_allclose(stoi(clean, a * noisy, 10000), base,
+                                       atol=1e-12)
+            np.testing.assert_allclose(stoi(a * clean, a * noisy, 10000), base,
+                                       atol=1e-12)
+        # clean-only rescale: the silent-frame mask and clip bound both track
+        # the clean signal, so this too is exactly invariant
+        np.testing.assert_allclose(stoi(3.0 * clean, noisy, 10000), base,
+                                   atol=1e-12)
+
+    def test_identity_is_exactly_one(self):
+        for seed in (0, 4, 9):
+            x = _speechlike(25000, seed)
+            assert stoi(x, x, 10000) == pytest.approx(1.0, abs=1e-12)
+
+    def test_uncorrelated_noise_scores_near_zero(self):
+        clean = _speechlike(40000, 13)
+        pure_noise = np.random.RandomState(77).randn(len(clean))
+        d = stoi(clean, pure_noise, 10000)
+        assert abs(d) < 0.25, d  # uncorrelated -> correlations average to ~0
+        # and far below even heavily degraded speech
+        heavy = clean + 1.0 * np.random.RandomState(78).randn(len(clean))
+        assert d < stoi(clean, heavy, 10000)
+
+    def test_thirdoct_band_structure(self):
+        """The band matrix checked against the PAPER's filterbank definition,
+        not against stoi.m's indexing idiom."""
+        from segan_pytorch_tpu.metrics.stoi import _thirdoct, FS, NFFT, \
+            NUM_BANDS, MIN_FREQ
+
+        A, cf = _thirdoct(FS, NFFT, NUM_BANDS, MIN_FREQ)
+        f = np.linspace(0, FS, NFFT + 1)[: NFFT // 2 + 1]
+        k = np.arange(NUM_BANDS)
+        np.testing.assert_allclose(cf, 2.0 ** (k / 3.0) * MIN_FREQ)
+        # geometric band edges from the paper
+        fl = np.sqrt(cf * np.concatenate(([cf[0] / 2 ** (1 / 3)], cf[:-1])))
+        fr = np.sqrt(cf * np.concatenate((cf[1:], [cf[-1] * 2 ** (1 / 3)])))
+        # bands tile contiguously: no bin in two bands, no gap inside the
+        # covered range
+        colsum = A.sum(axis=0)
+        assert colsum.max() == 1.0
+        covered = np.where(colsum > 0)[0]
+        assert np.array_equal(covered,
+                              np.arange(covered[0], covered[-1] + 1))
+        # every selected bin sits inside its band's [fl, fr) interval to
+        # within half-a-bin argmin rounding
+        half_bin = (f[1] - f[0]) / 2
+        for i in range(NUM_BANDS):
+            bins = np.where(A[i] > 0)[0]
+            assert bins.size > 0
+            assert f[bins[0]] >= fl[i] - half_bin
+            assert f[bins[-1]] < fr[i] + half_bin
+            # and contiguous within the band
+            assert np.array_equal(bins, np.arange(bins[0], bins[-1] + 1))
+
+    def test_monotone_under_rising_noise(self):
+        clean = _speechlike(30000, 21)
+        rng = np.random.RandomState(5)
+        noise = rng.randn(len(clean))
+        scores = [stoi(clean, clean + s * noise, 10000)
+                  for s in (0.0, 0.05, 0.15, 0.4, 1.0)]
+        assert all(a > b for a, b in zip(scores, scores[1:])), scores
