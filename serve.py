@@ -55,7 +55,9 @@ warm-batch device latency so one coalesced pass stays under the target.
 Deployment: --auth_token (or $SEGAN_SERVE_TOKEN) gates the enhancement
 endpoints behind 'Authorization: Bearer <token>' (/healthz stays open for
 load-balancer probes); --tls_cert/--tls_key serve HTTPS with the handshake
-deferred to handler threads; SIGTERM/SIGINT triggers a graceful drain (stop
+deferred to handler threads; --tls_client_ca additionally demands a
+client certificate signed by that CA (mutual TLS, enforced at the handshake
+on both listeners); SIGTERM/SIGINT triggers a graceful drain (stop
 accepting, finish in-flight requests up to --drain_seconds, exit 0 — composes
 with the trainer's preemption-safe SIGTERM checkpointing for full-stack
 preemption hygiene).
@@ -698,6 +700,12 @@ def main():
                         "serve HTTPS instead of HTTP")
     p.add_argument("--tls_key", default=None,
                    help="path to the PEM private key for --tls_cert")
+    p.add_argument("--tls_client_ca", default=None,
+                   help="PEM CA bundle for MUTUAL TLS: with --tls_cert, "
+                        "require clients to present a certificate signed by "
+                        "this CA (connections without one fail the "
+                        "handshake); applies to the HTTP and WebSocket "
+                        "listeners alike")
     p.add_argument("--drain_seconds", type=float, default=30.0,
                    help="on SIGTERM/SIGINT: stop accepting connections, wait "
                         "up to this long for in-flight requests, then exit 0")
@@ -705,6 +713,8 @@ def main():
     opts = p.parse_args()
     if bool(opts.tls_cert) != bool(opts.tls_key):
         p.error("--tls_cert and --tls_key must be given together")
+    if opts.tls_client_ca and not opts.tls_cert:
+        p.error("--tls_client_ca requires --tls_cert/--tls_key")
 
     import numpy as np
 
@@ -738,6 +748,11 @@ def main():
 
         ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
         ctx.load_cert_chain(opts.tls_cert, opts.tls_key)
+        if opts.tls_client_ca:
+            # mutual TLS: a client without a CA-signed certificate fails the
+            # handshake in its handler thread before any route is reached
+            ctx.verify_mode = ssl.CERT_REQUIRED
+            ctx.load_verify_locations(cafile=opts.tls_client_ca)
         # handshake on first read in the HANDLER thread, not in accept():
         # a client that stalls mid-handshake must not block the accept loop
         srv.socket = ctx.wrap_socket(srv.socket, server_side=True,
