@@ -67,13 +67,33 @@ def main():
         import subprocess
         import sys
 
-        try:
-            subprocess.run(
+        def _probe():
+            # NOT subprocess.run(timeout=...): that SIGKILLs the child on
+            # timeout, and a SIGKILLed axon client mid-dial is precisely what
+            # wedges the chip grant for hours (BENCH.md caveats / verify
+            # skill traps). SIGTERM first, SIGKILL only if it ignores that.
+            proc = subprocess.Popen(
                 [sys.executable, "-c",
                  "import jax, jax.numpy as jnp; "
                  "print(float(jnp.sum(jnp.ones((8, 8)) @ jnp.ones((8, 8)))))"],
-                timeout=float(os.environ.get("SEGAN_TPU_BENCH_PROBE_S", "900")),
-                capture_output=True, check=True)
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            try:
+                rc = proc.wait(
+                    timeout=float(os.environ.get("SEGAN_TPU_BENCH_PROBE_S",
+                                                 "900")))
+            except subprocess.TimeoutExpired:
+                proc.terminate()
+                try:
+                    proc.wait(timeout=15)
+                except subprocess.TimeoutExpired:  # pragma: no cover
+                    proc.kill()
+                    proc.wait()
+                raise
+            if rc != 0:
+                raise subprocess.CalledProcessError(rc, "device probe")
+
+        try:
+            _probe()
         except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
             print(json.dumps({
                 "metric": "train_slices_per_sec_per_chip", "value": 0.0,
