@@ -104,6 +104,17 @@ class InflightCounter:
             return self._n
 
 
+def _parse_params(query: str) -> dict:
+    """Query-string params as a dict (URL-decoded). One parser shared by the
+    HTTP and WS handlers so the two endpoints can never diverge."""
+    params = {}
+    for kv in query.split("&"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            params[unquote(k)] = unquote(v)
+    return params
+
+
 def _as_int16(wav):
     """Coerce any scipy-wavfile sample dtype to int16 scale, so the reference's
     int16-domain normalize_wave_minmax applies uniformly (float WAVs come back in
@@ -237,12 +248,7 @@ def make_handler(cfg, segan, state):
 
         def _params(self):
             _, _, query = self.path.partition("?")
-            params = {}
-            for kv in query.split("&"):
-                if "=" in kv:
-                    k, _, v = kv.partition("=")
-                    params[unquote(k)] = unquote(v)
-            return params
+            return _parse_params(query)
 
         def do_POST(self):
             if not self._authorized():
@@ -567,14 +573,6 @@ def make_ws_handler(state):
     max_stream_s = float(state.get("max_stream_seconds", 0.0))
     inflight = state["inflight"]
 
-    def _params(query):
-        params = {}
-        for kv in query.split("&"):
-            if "=" in kv:
-                k, _, v = kv.partition("=")
-                params[unquote(k)] = unquote(v)
-        return params
-
     def handler(ws):
         if auth_token:  # same bearer gate as the HTTP POST endpoints
             header = ws.request.headers.get("Authorization", "")
@@ -589,7 +587,7 @@ def make_ws_handler(state):
             return
         gen_cfg, gen_engine, _ = state["gen"]  # one consistent generation
         try:
-            params = _params(query)
+            params = _parse_params(query)
             overlap = float(params.get("overlap", 0.25))
             window = int(params.get("window", gen_cfg.slice_size))
             seed = int(params["seed"]) if "seed" in params else None
@@ -602,12 +600,18 @@ def make_ws_handler(state):
         with inflight:
             carry = b""
             t0 = time.perf_counter()
+            n_in_bytes = 0
             n_out = 0
             truncated = False
             while True:
                 # bounded recv: enforces the session wall-clock cap and lets a
-                # SIGTERM drain finalize idle sessions promptly (connection
-                # threads are non-daemon — they must not outlive the drain)
+                # SIGTERM drain finalize sessions promptly (connection threads
+                # are non-daemon — they must not outlive the drain; checked
+                # here too, not only on timeout, so a continuously-sending
+                # client can't hold the process past --drain_seconds)
+                if state.get("draining"):
+                    truncated = True
+                    break
                 remaining = (max_stream_s - (time.perf_counter() - t0)
                              if max_stream_s > 0 else 1e9)
                 if remaining <= 0:
@@ -616,9 +620,6 @@ def make_ws_handler(state):
                 try:
                     msg = ws.recv(timeout=min(remaining, 1.0))
                 except TimeoutError:
-                    if state.get("draining"):
-                        truncated = True
-                        break
                     continue  # idle gap: keepalive pings hold the connection
                 except ConnectionClosed:
                     return  # client gone without "end": no one to finalize to
@@ -626,6 +627,12 @@ def make_ws_handler(state):
                     if msg.strip().lower() in ("end", "flush"):
                         break
                     continue  # unknown text frames ignored (forward compat)
+                n_in_bytes += len(msg)
+                if n_in_bytes > MAX_BODY_BYTES:
+                    # same cumulative cap as the HTTP endpoint ('stream too
+                    # large'): finalize what was fed and close
+                    truncated = True
+                    break
                 carry += msg
                 usable = len(carry) - (len(carry) % 2)
                 if not usable:

@@ -662,6 +662,67 @@ class TestServeWebSocket:
             proc.wait(timeout=10)
             log_f.close()
 
+    def test_ws_active_sender_does_not_block_sigterm_drain(self, tiny_ckpt):
+        """A WS client that never stops sending must not pin the process past
+        the drain: 'draining' is checked every loop iteration, the session is
+        finalized (truncated done frame), and the server exits 0 — WS
+        connection threads are non-daemon, so without the in-loop check the
+        process would hang until max_stream_seconds."""
+        import signal as _signal
+        import threading
+
+        from websockets.sync.client import connect
+
+        base, proc, log_f = _launch_server(
+            tiny_ckpt, 29787,
+            ("--ws_port", "29887", "--drain_seconds", "10"))
+        try:
+            pcm = self._pcm(1024)
+            got = {}
+
+            def client():
+                try:
+                    with connect("ws://127.0.0.1:29887/enhance_stream"
+                                 "?seed=1&window=1024",
+                                 open_timeout=60) as ws:
+                        got["connected"] = True
+                        for _ in range(600):  # keeps sending through SIGTERM
+                            ws.send(pcm)
+                            msg = None
+                            # drain anything queued; stop on the done frame
+                            try:
+                                while True:
+                                    msg = ws.recv(timeout=0.05)
+                                    if isinstance(msg, str):
+                                        got["done"] = json.loads(msg)
+                                        return
+                            except TimeoutError:
+                                pass
+                            time.sleep(0.05)
+                except Exception as e:
+                    got["exc"] = repr(e)
+
+            t = threading.Thread(target=client)
+            t.start()
+            deadline = time.time() + 60
+            while not got and time.time() < deadline:
+                time.sleep(0.1)
+            assert got.get("connected"), got
+            time.sleep(0.5)  # let a few frames flow
+            proc.send_signal(_signal.SIGTERM)
+            # clean exit well within drain + shutdown overhead
+            assert proc.wait(timeout=60) == 0
+            t.join(timeout=60)
+            # the session was finalized mid-stream, not cut: either the client
+            # collected the truncated done frame or saw a clean close
+            if "done" in got:
+                assert got["done"]["truncated"] is True
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait(timeout=10)
+            log_f.close()
+
 
 class TestServeMutualTLS:
     def test_mtls_requires_client_cert(self, tiny_ckpt, tmp_path):
