@@ -662,6 +662,36 @@ class TestServeWebSocket:
             proc.wait(timeout=10)
             log_f.close()
 
+    def test_ws_client_tool_roundtrip(self, ws_server, tmp_path):
+        """tools/ws_client.py end-to-end: wav in -> streamed enhancement ->
+        wav out, byte-identical to a direct WS stream with the same seed."""
+        from scipy.io import wavfile
+
+        _, ws_port = ws_server
+        n = 2400
+        pcm = self._pcm(n, seed=3)
+        wav_in = tmp_path / "in.wav"
+        wav_out = tmp_path / "out.wav"
+        wavfile.write(str(wav_in), 16000, np.frombuffer(pcm, dtype="<i2"))
+        env = dict(os.environ, SEGAN_TPU_PLATFORM="cpu", PYTHONPATH=REPO)
+        r = subprocess.run(
+            [sys.executable, "tools/ws_client.py",
+             "--url", f"ws://127.0.0.1:{ws_port}/enhance_stream",
+             "--in", str(wav_in), "--out", str(wav_out),
+             "--seed", "21", "--window", "1024", "--overlap", "0.25",
+             "--piece_ms", "40", "--realtime", "4.0"],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        info = json.loads(r.stdout.strip().splitlines()[-1])
+        assert info["samples_in"] == info["samples_out"] == n
+        assert not info["truncated"]
+        rate, enh = wavfile.read(str(wav_out))
+        assert rate == 16000 and enh.shape == (n,)
+        direct, _ = self._ws_stream(ws_port, pcm,
+                                    "seed=21&window=1024&overlap=0.25",
+                                    pieces=(len(pcm),))
+        np.testing.assert_array_equal(enh, direct)
+
     def test_ws_active_sender_does_not_block_sigterm_drain(self, tiny_ckpt):
         """A WS client that never stops sending must not pin the process past
         the drain: 'draining' is checked every loop iteration, the session is
