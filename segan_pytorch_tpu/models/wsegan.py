@@ -446,7 +446,7 @@ class WSEGAN(SEGAN):
         return c_res, hall
 
     def generate_batch(self, inwavs, chunk_buckets: bool = True, rng=None,
-                       overlap: float = 0.0):
+                       overlap: float = 0.0, rngs=None):
         """Batched WSEGAN enhancement (clean.py --batch_utts for the whisper
         variant): utterances are grouped by their make_div_n(1024) padded
         length and each group runs as ONE device pass. Unlike SEGAN's
@@ -460,6 +460,11 @@ class WSEGAN(SEGAN):
         Returns a list of (enhanced_wav, hall) like N generate() results (hall
         leaves sliced to the row, keeping the leading batch dim of 1).
 
+        rngs: optional per-utterance key list (serving: each request may carry
+        its own seed). None entries draw from the per-model stream in order,
+        so mixed seeded/unseeded batches match the sequential calls exactly.
+        Mutually exclusive with rng (one key split across all utterances).
+
         chunk_buckets=True pads each group's ROW count to a power of two
         (inert zero rows, outputs discarded) so recompiles are bounded by
         O(log B x distinct padded lengths) instead of one program per exact
@@ -467,10 +472,22 @@ class WSEGAN(SEGAN):
         (padding past make_div_n would change deep receptive fields)."""
         if inwavs is None or len(inwavs) == 0:
             return []
+        if rng is not None and rngs is not None:
+            raise ValueError("pass rng OR rngs, not both")
         wavs = [np.asarray(w, np.float32).reshape(-1) for w in inwavs]
         keys = []
         if not self.G.no_z:
-            if rng is None:
+            if rngs is not None:
+                if len(rngs) != len(wavs):
+                    raise ValueError(f"rngs has {len(rngs)} entries for "
+                                     f"{len(wavs)} utterances")
+                for r in rngs:
+                    if r is None:
+                        if self._gen_rng is None:
+                            self._gen_rng = jax.random.PRNGKey(self.cfg.seed)
+                        self._gen_rng, r = jax.random.split(self._gen_rng)
+                    keys.append(r)
+            elif rng is None:
                 if self._gen_rng is None:
                     self._gen_rng = jax.random.PRNGKey(self.cfg.seed)
                 for _ in wavs:

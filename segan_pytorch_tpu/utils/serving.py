@@ -144,6 +144,23 @@ class MicroBatcher:
 
     def _process(self, jobs: List[_Job]):
         segan = self.segan
+        if getattr(segan.cfg, "wsegan", False) or getattr(
+                segan.cfg, "aewsegan", False):
+            # WSEGAN/AEWSEGAN semantics are a single full-utterance pass
+            # padded to /1024 (ref model.py:755-766), not a 16384 chunk grid —
+            # route coalesced requests through the engine's own batched
+            # generate so served output is bit-identical to clean.py's.
+            # generate_batch groups rows by padded length; per-request seeds
+            # ride the rngs list (None entries draw from the model stream).
+            results = segan.generate_batch(
+                [j.pwav for j in jobs],
+                rngs=None if segan.G.no_z else [j.rng for j in jobs])
+            self.batches += 1
+            for j, (wav, _) in zip(jobs, results):
+                j.result = wav  # generate_batch already de-emphasized
+                self.requests += 1
+                j.event.set()
+            return
         S = segan.cfg.slice_size
         grids, metas, zrows = [], [], []
         for j in jobs:

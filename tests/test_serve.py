@@ -832,3 +832,54 @@ class TestServeMutualTLS:
             proc.kill()
             proc.wait(timeout=10)
             log_f.close()
+
+
+class TestServeWSEGAN:
+    def test_wsegan_checkpoint_served_with_engine_semantics(
+            self, tmp_path_factory):
+        """A WSEGAN checkpoint behind serve.py: healthz reports the model, and
+        /enhance output is bit-identical to the in-process WSEGAN.generate
+        (single /1024-padded pass), proving the MicroBatcher routes to the
+        engine's own semantics instead of SEGAN chunk grids."""
+        from scipy.io import wavfile
+
+        from segan_pytorch_tpu.utils.config import SEGANConfig
+        from segan_pytorch_tpu.models import WSEGAN
+        from segan_pytorch_tpu.utils.checkpoint import Saver
+        from segan_pytorch_tpu.ops.signal import (normalize_wave_minmax,
+                                                  pre_emphasize_np)
+        import jax
+
+        root = tmp_path_factory.mktemp("serve_ws")
+        cfg = SEGANConfig(slice_size=1024, genc_fmaps=[8, 16, 32],
+                          genc_poolings=[4, 4, 4], z_dim=32,
+                          denc_fmaps=[8, 16, 32], denc_poolings=[4, 4, 4],
+                          dpool_slen=16, batch_size=1, wsegan=True,
+                          save_path=str(root))
+        ws = WSEGAN(cfg)
+        ws.init_state(batch_size=1)
+        ws.save(Saver(str(root), prefix="EOE_G-"),
+                Saver(str(root), prefix="EOE_D-"), 1)
+        with open(root / "train.opts", "w") as f:
+            f.write(cfg.to_json())
+
+        base, proc, log_f = _launch_server(root, 29788)
+        try:
+            with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+                assert json.loads(r.read())["model"] == "WSEGAN"
+            n = 2500  # NOT /1024-aligned: exercises the make_div padding
+            body = _wav_bytes(n=n, seed=6)
+            req = urllib.request.Request(base + "/enhance?seed=17", data=body)
+            with urllib.request.urlopen(req, timeout=120) as r:
+                rate, served = wavfile.read(io.BytesIO(r.read()))
+            assert rate == 16000 and served.shape == (n,)
+            # replicate the server's input prep, then the engine's own path
+            _, wav = wavfile.read(io.BytesIO(body))
+            pwav = pre_emphasize_np(
+                np.asarray(normalize_wave_minmax(wav)), cfg.preemph)
+            direct = ws.generate(pwav, rng=jax.random.PRNGKey(17))[0]
+            np.testing.assert_array_equal(served, direct.astype(np.float32))
+        finally:
+            proc.kill()
+            proc.wait(timeout=10)
+            log_f.close()

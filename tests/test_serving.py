@@ -131,6 +131,58 @@ class TestMicroBatcher:
             batcher.close()
 
 
+class TestMicroBatcherWSEGAN:
+    def _engine(self):
+        from segan_pytorch_tpu.models import WSEGAN
+
+        cfg = SEGANConfig(slice_size=1024, genc_fmaps=[8, 16, 32],
+                          genc_poolings=[4, 4, 4], z_dim=32,
+                          denc_fmaps=[8, 16, 32], denc_poolings=[4, 4, 4],
+                          dpool_slen=16, batch_size=1, wsegan=True,
+                          save_path="/tmp/serving_test_ws")
+        m = WSEGAN(cfg)
+        m.init_state(batch_size=1)
+        return m
+
+    def test_wsegan_route_equals_direct_generate(self):
+        """A WSEGAN engine behind the MicroBatcher must serve the engine's own
+        semantics (single full pass padded to /1024, ref model.py:755-766) —
+        bit-identical to sequential WSEGAN.generate, including mixed
+        seeded/unseeded requests drawing from the model stream in job order
+        (not SEGAN's chunk-grid math)."""
+        a, b = self._engine(), self._engine()  # same seed -> same params/stream
+        wavs = [pre_emphasize_np(raw_wav(n, seed=i), 0.95)
+                for i, n in enumerate((2500, 1024, 2500))]
+        rngs = [None, jax.random.PRNGKey(30), None]
+        direct = [a.generate(w, rng=r)[0] for w, r in zip(wavs, rngs)]
+
+        batcher = MicroBatcher(b)
+        try:
+            from segan_pytorch_tpu.utils.serving import _Job
+
+            jobs = [_Job(w, r, 0.0) for w, r in zip(wavs, rngs)]
+            with batcher._cv:
+                batcher._queue.extend(jobs)
+                batcher._cv.notify()
+            for j in jobs:
+                assert j.event.wait(120)
+                assert j.error is None, j.error
+            assert batcher.batches == 1  # one coalescing event
+            for j, d, w in zip(jobs, direct, wavs):
+                assert j.result.shape == (w.shape[0],)
+                np.testing.assert_array_equal(j.result, d)
+        finally:
+            batcher.close()
+
+    def test_rngs_arg_validation(self):
+        eng = self._engine()
+        with pytest.raises(ValueError):
+            eng.generate_batch([raw_wav(1000)], rng=jax.random.PRNGKey(0),
+                               rngs=[jax.random.PRNGKey(1)])
+        with pytest.raises(ValueError):
+            eng.generate_batch([raw_wav(1000)], rngs=[])
+
+
 class TestStreamingEnhancer:
     def _offline(self, segan, wav, window, overlap, rng):
         """The offline chunk_grid + overlap_add path with the session z."""
