@@ -16,10 +16,20 @@ def build_enhancement_engine(cfg_file: str, g_ckpt: str, seed: int = 111):
     enable_compilation_cache()
 
     from .config import load_train_opts
-    from ..models import SEGAN, WSEGAN
+    from ..models import AEWSEGAN, SEGAN, WSEGAN
 
     cfg = load_train_opts(cfg_file)
-    segan = (WSEGAN if cfg.wsegan else SEGAN)(cfg)
+    # train.py sets aewsegan with wsegan=False, so check it FIRST: an
+    # AEWSEGAN checkpoint served through plain SEGAN would get chunk-grid
+    # generate semantics instead of the engine's single make_div_n pass
+    # (AEWSEGAN subclasses WSEGAN and inherits its generate/generate_batch).
+    if getattr(cfg, "aewsegan", False):
+        cls = AEWSEGAN
+    elif cfg.wsegan:
+        cls = WSEGAN
+    else:
+        cls = SEGAN
+    segan = cls(cfg)
     segan.init_state(jax.random.PRNGKey(seed), batch_size=1)
     # seed the per-utterance z stream (each utterance gets a fresh z, matching the
     # reference's per-utterance in-forward randn, ref model.py:144-146)

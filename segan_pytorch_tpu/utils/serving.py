@@ -144,17 +144,36 @@ class MicroBatcher:
 
     def _process(self, jobs: List[_Job]):
         segan = self.segan
-        if getattr(segan.cfg, "wsegan", False) or getattr(
-                segan.cfg, "aewsegan", False):
+        from ..models import WSEGAN
+
+        if isinstance(segan, WSEGAN):
             # WSEGAN/AEWSEGAN semantics are a single full-utterance pass
             # padded to /1024 (ref model.py:755-766), not a 16384 chunk grid —
             # route coalesced requests through the engine's own batched
             # generate so served output is bit-identical to clean.py's.
             # generate_batch groups rows by padded length; per-request seeds
             # ride the rngs list (None entries draw from the model stream).
+            # (isinstance, not cfg flags: build_enhancement_engine decides the
+            # engine class and AEWSEGAN sets aewsegan with wsegan=False.)
+            t0 = time.perf_counter()
             results = segan.generate_batch(
                 [j.pwav for j in jobs],
                 rngs=None if segan.G.no_z else [j.rng for j in jobs])
+            dt = time.perf_counter() - t0
+            # keep --target_batch_seconds live for these engines: budget the
+            # EMA in slice_size-equivalent rows (the unit _drain_locked
+            # counts), warm-gated on the set of make_div_n padded lengths
+            # (one XLA program per distinct padded length)
+            S = segan.cfg.slice_size
+            bucket = tuple(sorted({-(-len(j.pwav) // 1024) * 1024
+                                   for j in jobs}))
+            rows = sum(max(1, -(-len(j.pwav) // S)) for j in jobs)
+            if bucket in self._warm_buckets:
+                spc = dt / max(rows, 1)
+                self._sec_per_chunk = (spc if self._sec_per_chunk is None
+                                       else 0.7 * self._sec_per_chunk
+                                       + 0.3 * spc)
+            self._warm_buckets.add(bucket)
             self.batches += 1
             for j, (wav, _) in zip(jobs, results):
                 j.result = wav  # generate_batch already de-emphasized

@@ -201,12 +201,12 @@ def make_handler(cfg, segan, state):
                 return self._metrics()
             if path != "/healthz":
                 return self._json(404, {"error": "unknown path"})
-            c, _, bt = state["gen"]
+            c, eng, bt = state["gen"]
             with state["mlock"]:
                 requests, bp = state["requests"], state["batches_prev"]
             self._json(200, {
                 "status": "draining" if state.get("draining") else "ok",
-                "model": "WSEGAN" if c.wsegan else "SEGAN",
+                "model": type(eng).__name__,  # actual engine class, not flags
                 "slice_size": c.slice_size,
                 "warm_s": state["warm_s"],
                 "requests": requests,
@@ -586,6 +586,21 @@ def make_ws_handler(state):
             ws.close(code=1008, reason="unknown path")
             return
         gen_cfg, gen_engine, _ = state["gen"]  # one consistent generation
+        # Bound WRITES: ws.send ultimately blocks in sendall, and a client
+        # that stops reading would otherwise hold the (non-daemon) connection
+        # thread forever — past SIGTERM drain. SO_SNDTIMEO times out sends
+        # only (a plain settimeout would also kill the background reader
+        # during idle input gaps, which keepalive pings deliberately allow).
+        # On timeout sendall raises OSError -> the session aborts below.
+        try:
+            import socket as _socket
+            import struct as _struct
+            send_timeout = min(60.0, max_stream_s) if max_stream_s > 0 else 60.0
+            ws.socket.setsockopt(
+                _socket.SOL_SOCKET, _socket.SO_SNDTIMEO,
+                _struct.pack("ll", int(send_timeout), 0))
+        except (OSError, AttributeError):  # pragma: no cover - defensive
+            pass
         try:
             params = _parse_params(query)
             overlap = float(params.get("overlap", 0.25))
@@ -647,8 +662,8 @@ def make_ws_handler(state):
                     n_out += pcm_out.size
                     try:
                         ws.send(pcm_out.tobytes())
-                    except ConnectionClosed:
-                        return
+                    except (ConnectionClosed, OSError):
+                        return  # OSError: SO_SNDTIMEO fired (stalled reader)
             out = streamer.flush()
             pcm_out = np.clip(out * 32767.0, -32768, 32767).astype("<i2")
             n_out += pcm_out.size
@@ -658,8 +673,8 @@ def make_ws_handler(state):
                 ws.send(json.dumps({"event": "done", "samples_out": n_out,
                                     "truncated": truncated}))
                 ws.close()
-            except ConnectionClosed:
-                pass
+            except (ConnectionClosed, OSError):
+                pass  # OSError: SO_SNDTIMEO fired (stalled reader)
             with state["mlock"]:
                 state["requests"] += 1
             if state["verbose"]:

@@ -183,6 +183,90 @@ class TestMicroBatcherWSEGAN:
             eng.generate_batch([raw_wav(1000)], rngs=[])
 
 
+class TestServedAEWSEGAN:
+    """AEWSEGAN checkpoints must serve (ADVICE r3 high): train.py sets
+    aewsegan with wsegan=False, so the engine builder must pick AEWSEGAN (which
+    inherits WSEGAN's make_div_n generate semantics) and the MicroBatcher must
+    route it through generate_batch — previously it built a plain SEGAN whose
+    generate_batch lacks the rngs kwarg and every /enhance raised TypeError."""
+
+    def _ckpt(self, tmp_path):
+        from segan_pytorch_tpu.models import AEWSEGAN
+        from segan_pytorch_tpu.utils.checkpoint import Saver
+
+        cfg = SEGANConfig(slice_size=1024, genc_fmaps=[8, 16, 32],
+                          genc_poolings=[4, 4, 4], z_dim=32,
+                          denc_fmaps=[8, 16, 32], denc_poolings=[4, 4, 4],
+                          dpool_slen=16, batch_size=1, aewsegan=True,
+                          opt="adam", save_path=str(tmp_path))
+        m = AEWSEGAN(cfg)
+        m.init_state(batch_size=1)
+        gs = Saver(str(tmp_path), prefix="EOE_G-")
+        m.save(gs, None, 1)
+        gs.flush()
+        with open(tmp_path / "train.opts", "w") as f:
+            f.write(cfg.to_json())
+        return tmp_path / "weights_EOE_G-Generator-1.ckpt", \
+            tmp_path / "train.opts", m
+
+    def test_engine_builder_selects_aewsegan(self, tmp_path):
+        from segan_pytorch_tpu.models import AEWSEGAN
+        from segan_pytorch_tpu.utils.engine import build_enhancement_engine
+
+        ckpt, opts, _ = self._ckpt(tmp_path)
+        cfg, eng = build_enhancement_engine(str(opts), str(ckpt), seed=7)
+        assert isinstance(eng, AEWSEGAN)
+        assert eng.D is None
+
+    def test_microbatched_serving_equals_direct_generate(self, tmp_path):
+        from segan_pytorch_tpu.utils.engine import build_enhancement_engine
+
+        ckpt, opts, _ = self._ckpt(tmp_path)
+        _, direct_eng = build_enhancement_engine(str(opts), str(ckpt), seed=7)
+        _, served_eng = build_enhancement_engine(str(opts), str(ckpt), seed=7)
+        wavs = [pre_emphasize_np(raw_wav(n, seed=i), 0.95)
+                for i, n in enumerate((2500, 1024))]
+        rngs = [jax.random.PRNGKey(41), None]
+        direct = [direct_eng.generate(w, rng=r)[0]
+                  for w, r in zip(wavs, rngs)]
+
+        batcher = MicroBatcher(served_eng)
+        try:
+            from segan_pytorch_tpu.utils.serving import _Job
+
+            jobs = [_Job(w, r, 0.0) for w, r in zip(wavs, rngs)]
+            with batcher._cv:
+                batcher._queue.extend(jobs)
+                batcher._cv.notify()
+            for j in jobs:
+                assert j.event.wait(120)
+                assert j.error is None, j.error
+            for j, d, w in zip(jobs, direct, wavs):
+                assert j.result.shape == (w.shape[0],)
+                np.testing.assert_array_equal(j.result, d)
+        finally:
+            batcher.close()
+
+    def test_adaptive_budget_live_for_wsegan_engines(self, tmp_path):
+        """--target_batch_seconds must not be silently inert for the
+        WSEGAN/AEWSEGAN route (ADVICE r3 low): after a warm repeat of the same
+        padded-length bucket, the latency EMA must be populated."""
+        ckpt, opts, _ = self._ckpt(tmp_path)
+        from segan_pytorch_tpu.utils.engine import build_enhancement_engine
+
+        _, eng = build_enhancement_engine(str(opts), str(ckpt), seed=7)
+        batcher = MicroBatcher(eng, target_batch_seconds=0.5)
+        try:
+            w = pre_emphasize_np(raw_wav(2000, seed=3), 0.95)
+            batcher.enhance(w, rng=jax.random.PRNGKey(0))  # cold: compiles
+            assert batcher._sec_per_chunk is None
+            batcher.enhance(w, rng=jax.random.PRNGKey(1))  # warm bucket
+            assert batcher._sec_per_chunk is not None
+            assert batcher.effective_max_chunks >= batcher.min_batch_chunks
+        finally:
+            batcher.close()
+
+
 class TestStreamingEnhancer:
     def _offline(self, segan, wav, window, overlap, rng):
         """The offline chunk_grid + overlap_add path with the session z."""

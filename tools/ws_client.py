@@ -34,6 +34,7 @@ def stream_file(url: str, pcm: bytes, piece_bytes: int, realtime: float,
     """Stream `pcm` (raw 16 kHz PCM16 LE) to the WS endpoint; return
     (enhanced_pcm_bytes, done_info). Receives concurrently with the feed so
     server backpressure never deadlocks the client."""
+    from websockets.exceptions import ConnectionClosed
     from websockets.sync.client import connect
 
     headers = {"Authorization": f"Bearer {token}"} if token else None
@@ -51,28 +52,38 @@ def stream_file(url: str, pcm: bytes, piece_bytes: int, realtime: float,
     with connect(full_url, additional_headers=headers, ssl=ssl_ctx,
                  open_timeout=60) as ws:
         def recv_loop():
-            while True:
-                msg = ws.recv(timeout=600)
-                if isinstance(msg, str):
-                    done.update(json.loads(msg))
-                    return
-                out.extend(msg)
-                if on_progress:
-                    on_progress(len(out) // 2)
+            try:
+                while True:
+                    msg = ws.recv(timeout=600)
+                    if isinstance(msg, str):
+                        done.update(json.loads(msg))
+                        return
+                    out.extend(msg)
+                    if on_progress:
+                        on_progress(len(out) // 2)
+            except ConnectionClosed:
+                return  # server closed without 'done': caller reports it
 
         rx = threading.Thread(target=recv_loop, daemon=True)
         rx.start()
         # pace the feed: piece_bytes/2 samples = piece_bytes/2/16000 seconds
         piece_seconds = (piece_bytes / 2) / 16000.0
-        for beg in range(0, len(pcm), piece_bytes):
-            t0 = time.perf_counter()
-            ws.send(pcm[beg: beg + piece_bytes])
-            if realtime > 0:
-                budget = piece_seconds / realtime
-                spent = time.perf_counter() - t0
-                if budget > spent:
-                    time.sleep(budget - spent)
-        ws.send("end")
+        try:
+            for beg in range(0, len(pcm), piece_bytes):
+                t0 = time.perf_counter()
+                ws.send(pcm[beg: beg + piece_bytes])
+                if realtime > 0:
+                    budget = piece_seconds / realtime
+                    spent = time.perf_counter() - t0
+                    if budget > spent:
+                        time.sleep(budget - spent)
+            ws.send("end")
+        except ConnectionClosed:
+            # the server may finalize mid-feed (max_stream_seconds, body cap,
+            # SIGTERM drain): it sends 'done' + closes while we are still
+            # sending. Keep the already-received audio; the recv loop will
+            # have captured the done frame (truncated=true) before the close.
+            pass
         rx.join(timeout=600)
         if not done:
             raise RuntimeError("stream ended without a 'done' frame")
