@@ -23,6 +23,40 @@ import numpy as np
 BASELINE_SLICES_PER_SEC_EST = 500.0
 
 
+def last_driver_measurement(repo_root=None):
+    """Last live chip measurement, read from the newest BENCH_r*.json driver
+    artifact — the single source of truth for the headline number (so a wedged
+    chip's fail-fast JSON can't drift from what the driver actually recorded).
+    Returns {} when no artifact parsed a live value (e.g. round 1)."""
+    import os
+    import re
+
+    root = repo_root or os.path.dirname(os.path.abspath(__file__))
+    best = None  # (round_n, parsed dict)
+    for fn in os.listdir(root):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
+        if not m:
+            continue
+        try:
+            with open(os.path.join(root, fn)) as f:
+                parsed = json.load(f).get("parsed") or {}
+        except (OSError, ValueError):
+            continue
+        if parsed.get("value", 0) > 0:  # a live (not fail-fast) measurement
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, parsed)
+    if best is None:
+        return {}
+    n, parsed = best
+    out = {"last_live_value": parsed["value"], "last_live_round": n,
+           "last_live_note": "same default config, measured live on the chip "
+                             f"by the round-{n} driver (BENCH_r{n:02d}.json)"}
+    if "mfu" in parsed:
+        out["last_live_mfu"] = parsed["mfu"]
+    return out
+
+
 def main():
     parser = argparse.ArgumentParser()
     # batch 300 = the reference's canonical config (run_segan+_train.sh) and the
@@ -101,10 +135,7 @@ def main():
                 "error": f"device probe failed ({type(e).__name__}): the "
                          "remote chip grant is unreachable/wedged — see "
                          "BENCH.md environment caveats",
-                "last_live_value": 2742.14, "last_live_mfu": 0.4869,
-                "last_live_date": "2026-08-17",
-                "last_live_note": "same default config, measured live on the "
-                                  "chip earlier this round (BENCH.md)"}))
+                **last_driver_measurement()}))
             raise SystemExit(2)
 
     import jax

@@ -258,6 +258,72 @@ except Exception as e:
 """
 
 
+CHAOS_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.extend.backend as jeb; jeb.clear_backends()
+pid, port = int(sys.argv[1]), sys.argv[2]
+TOTAL = int(os.environ["CH_TOTAL"])
+CKPT = int(os.environ["CH_CKPT"])
+KILL = int(os.environ.get("CH_KILL", "-1"))
+RESUME = os.environ.get("CH_RESUME") == "1"
+SAVE = os.environ["CH_DIR"]
+
+from segan_pytorch_tpu.parallel import (initialize_distributed,
+                                        distributed_barrier,
+                                        shutdown_distributed)
+initialize_distributed(f"127.0.0.1:{port}", 2, pid)
+from segan_pytorch_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+
+import numpy as np
+from jax.experimental import multihost_utils
+from segan_pytorch_tpu.utils.config import SEGANConfig
+from segan_pytorch_tpu.models import SEGAN
+from segan_pytorch_tpu.utils.checkpoint import Saver
+
+cfg = SEGANConfig(slice_size=1024, genc_fmaps=[8, 16], genc_poolings=[4, 4],
+                  z_dim=16, denc_fmaps=[8, 16], denc_poolings=[4, 4],
+                  dpool_slen=64, batch_size=8, dp=4, save_path=SAVE)
+segan = SEGAN(cfg)
+segan.init_state(jax.random.PRNGKey(7), batch_size=8)
+segan.prepare_train(8)
+
+start = 0
+if RESUME:
+    start = segan.resume(SAVE)  # checksum collective: all procs must agree
+    assert start == CKPT, start
+distributed_barrier("chaos_dispatch", 240.0)
+
+GB, lo, hi = 8, pid * 4, pid * 4 + 4
+mask = np.ones((4,), np.float32)
+for step in range(start, TOTAL):
+    # the batch is a pure function of the step index: the resumed trajectory
+    # sees EXACTLY the data the uninterrupted run saw at the same step
+    r = np.random.RandomState(10_000 + step)
+    clean_g = (r.randn(GB, 1024, 1) * 0.1).astype(np.float32)
+    noisy_g = clean_g + (r.randn(GB, 1024, 1) * 0.02).astype(np.float32)
+    m, _, _ = segan.train_step(clean_g[lo:hi], noisy_g[lo:hi], mask,
+                               jax.random.PRNGKey(1000 + step), 100.0)
+    m = {k: float(v) for k, v in m.items()}
+    print("CHSTEP", pid, step,
+          " ".join(f"{k}={v.hex()}" for k, v in sorted(m.items())), flush=True)
+    if step + 1 == CKPT:
+        if pid == 0:  # chief EOE save: params + vars + optimizer state
+            segan.save(Saver(SAVE, max_ckpts=3, prefix="EOE_G-"),
+                       Saver(SAVE, max_ckpts=3, prefix="EOE_D-"), step=CKPT)
+        multihost_utils.process_allgather(np.int32(pid))  # ckpt durable first
+        if KILL == CKPT and pid == 1:
+            os._exit(9)  # host death mid-epoch: no shutdown, no FIN courtesy
+
+shutdown_distributed()
+print("CHDONE", pid, flush=True)
+"""
+
+
 def _free_port() -> str:
     import socket
 
@@ -315,6 +381,76 @@ def test_multi_process_train_step(tmp_path, nproc, ndev):
     tps = [next(ln for ln in o.splitlines() if ln.startswith("MHTPSAVE"))
            for o in outs]
     assert len({ln.split()[-1] for ln in tps}) == 1, tps
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="gloo smoke is linux-only")
+def test_chaos_kill_restart_resume_bitequal(tmp_path):
+    """The full failure-recovery loop composed end-to-end (VERDICT r3 #6): a
+    2-process job checkpoints mid-epoch, one worker is killed (os._exit, no
+    shutdown handshake), the survivor fails loudly, the WHOLE job restarts
+    from the chief checkpoint — and the resumed trajectory is bit-equal
+    (float.hex metrics) to an uninterrupted run of the same job."""
+    worker_path = tmp_path / "chaos_worker.py"
+    worker_path.write_text(CHAOS_WORKER)
+    TOTAL, CKPT = 6, 3
+
+    def launch(ck_dir, kill=-1, resume=False, timeout=360):
+        env = dict(os.environ, PYTHONPATH=ROOT, CH_TOTAL=str(TOTAL),
+                   CH_CKPT=str(CKPT), CH_KILL=str(kill), CH_DIR=str(ck_dir),
+                   CH_RESUME="1" if resume else "0")
+        env.pop("JAX_PLATFORMS", None)
+        port = _free_port()
+        procs = [subprocess.Popen(
+            [sys.executable, str(worker_path), str(pid), port],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=ROOT, env=env) for pid in range(2)]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out)
+        return procs, outs
+
+    def steps_of(out, pid):
+        return {int(ln.split()[2]): ln.split(" ", 3)[3]
+                for ln in out.splitlines()
+                if ln.startswith(f"CHSTEP {pid} ")}
+
+    # run A: uninterrupted 0..TOTAL-1 (it also writes a ckpt at CKPT — same
+    # code path — into its own dir, so both runs share one worker script)
+    procs, outs = launch(tmp_path / "ckA")
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-3000:]
+    ref = steps_of(outs[0], 0)
+    assert sorted(ref) == list(range(TOTAL)), sorted(ref)
+
+    # run B: worker 1 dies right after the step-CKPT checkpoint barrier;
+    # the survivor must fail loudly (collective error or heartbeat fatal)
+    procs, outs = launch(tmp_path / "ckB", kill=CKPT)
+    assert procs[1].returncode == 9, outs[1][-2000:]
+    assert procs[0].returncode != 0, outs[0][-2000:]
+    assert "CHDONE 0" not in outs[0]
+    pre = steps_of(outs[0], 0)
+    # pre-crash steps are themselves bit-equal to run A (same job, same data)
+    for s in range(CKPT):
+        assert pre[s] == ref[s], (s, pre[s], ref[s])
+
+    # run C: full-job restart resuming from run B's chief checkpoint
+    procs, outs = launch(tmp_path / "ckB", resume=True)
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-3000:]
+    res = steps_of(outs[0], 0)
+    assert sorted(res) == list(range(CKPT, TOTAL)), sorted(res)
+    # the recovered trajectory is bit-identical to never having crashed
+    for s in range(CKPT, TOTAL):
+        assert res[s] == ref[s], (
+            f"step {s} diverged after resume:\n{res[s]}\n!=\n{ref[s]}")
+    # and identical across the two restarted processes (replicated metrics)
+    assert steps_of(outs[1], 1) == res
 
 
 @pytest.mark.skipif(sys.platform != "linux", reason="gloo smoke is linux-only")
