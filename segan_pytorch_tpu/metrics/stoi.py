@@ -65,8 +65,29 @@ def _remove_silent_frames(x, y, dyn_range, frame_len, hop):
     return xs, ys
 
 
-def stoi(clean: np.ndarray, deg: np.ndarray, fs_sig: int = 16000) -> float:
-    """d = stoi(clean, degraded, fs). Higher is better, roughly in [0, 1]."""
+def stoi(clean: np.ndarray, deg: np.ndarray, fs_sig: int = 16000,
+         dyn_range: float = DYN_RANGE) -> float:
+    """d = stoi(clean, degraded, fs). Higher is better, roughly in [0, 1].
+
+    dyn_range overrides the silent-frame VAD threshold (standard: 40 dB below
+    the peak frame). A stricter value (e.g. 25) scores ACTIVE-speech regions
+    only — the diagnostic view tools/stoi_diagnosis.py uses to separate
+    speech-intelligibility changes from pause-region artifacts."""
+    d, _ = _stoi_impl(clean, deg, fs_sig, dyn_range)
+    return d
+
+
+def stoi_band_profile(clean: np.ndarray, deg: np.ndarray, fs_sig: int = 16000,
+                      dyn_range: float = DYN_RANGE):
+    """Per-band diagnostic: (center_freqs_hz, mean short-time correlation per
+    1/3-octave band). stoi() is the mean of the second array. Shows WHICH
+    bands lose temporal-envelope correlation under an enhancer."""
+    _, per_band = _stoi_impl(clean, deg, fs_sig, dyn_range)
+    _, cf = _thirdoct(FS, NFFT, NUM_BANDS, MIN_FREQ)
+    return cf, per_band
+
+
+def _stoi_impl(clean, deg, fs_sig, dyn_range):
     clean = np.asarray(clean, np.float64).reshape(-1)
     deg = np.asarray(deg, np.float64).reshape(-1)
     L = min(len(clean), len(deg))
@@ -76,9 +97,10 @@ def stoi(clean: np.ndarray, deg: np.ndarray, fs_sig: int = 16000) -> float:
         clean = resample_poly(clean, frac.numerator, frac.denominator)
         deg = resample_poly(deg, frac.numerator, frac.denominator)
     hop = N_FRAME // 2
-    clean, deg = _remove_silent_frames(clean, deg, DYN_RANGE, N_FRAME, hop)
+    clean, deg = _remove_silent_frames(clean, deg, dyn_range, N_FRAME, hop)
+    nan = float("nan"), np.full((NUM_BANDS,), np.nan)
     if len(clean) < N_FRAME * 2:
-        return float("nan")
+        return nan
     A, _ = _thirdoct(FS, NFFT, NUM_BANDS, MIN_FREQ)
     w = np.hanning(N_FRAME + 2)[1:-1]
     xf = _frame_sig(clean, N_FRAME, hop) * w
@@ -88,9 +110,9 @@ def stoi(clean: np.ndarray, deg: np.ndarray, fs_sig: int = 16000) -> float:
     Xb = np.sqrt(X @ A.T)  # (F, bands)
     Yb = np.sqrt(Y @ A.T)
     if Xb.shape[0] < N:
-        return float("nan")
-    d_sum = 0.0
-    count = 0
+        return nan
+    band_sum = np.zeros((NUM_BANDS,))
+    n_seg = 0
     for m in range(N, Xb.shape[0] + 1):
         Xseg = Xb[m - N : m].T  # (bands, N)
         Yseg = Yb[m - N : m].T
@@ -105,6 +127,7 @@ def stoi(clean: np.ndarray, deg: np.ndarray, fs_sig: int = 16000) -> float:
         corr = np.sum(x0 * y0, axis=1) / (
             np.linalg.norm(x0, axis=1) * np.linalg.norm(y0, axis=1) + 1e-16
         )
-        d_sum += np.sum(corr)
-        count += corr.shape[0]
-    return float(d_sum / count)
+        band_sum += corr
+        n_seg += 1
+    per_band = band_sum / n_seg
+    return float(per_band.mean()), per_band

@@ -145,16 +145,24 @@ def make_handler(cfg, segan, state):
 
     from segan_pytorch_tpu.ops.signal import normalize_wave_minmax, pre_emphasize_np
     from segan_pytorch_tpu.utils.engine import build_enhancement_engine
-    from segan_pytorch_tpu.utils.serving import MicroBatcher, StreamingEnhancer
+    from segan_pytorch_tpu.utils.serving import (MicroBatcher,
+                                                 StreamingEnhancer,
+                                                 WindowBatcher)
 
-    # (cfg, engine, batcher) publish as ONE tuple so /admin/reload swaps are
-    # tear-free: a request snapshots state["gen"] once and uses a consistent
-    # generation end-to-end (pre-emphasis coefficient, engine, batcher must
-    # never mix across a reload)
+    # (cfg, engine, batcher, win_batcher) publish as ONE tuple so
+    # /admin/reload swaps are tear-free: a request snapshots state["gen"] once
+    # and uses a consistent generation end-to-end (pre-emphasis coefficient,
+    # engine, batchers must never mix across a reload). win_batcher coalesces
+    # concurrent STREAMING sessions' window forwards into shared device passes
+    # (None with --no_stream_coalesce: per-session forwards, bit-deterministic
+    # regardless of concurrent load).
     state["gen"] = (cfg, segan, MicroBatcher(
         segan,
-        target_batch_seconds=state.get("target_batch_seconds", 0.0)))
+        target_batch_seconds=state.get("target_batch_seconds", 0.0)),
+        WindowBatcher(segan) if state.get("stream_coalesce", True) else None)
     state.setdefault("batches_prev", 0)  # passes from engines retired by reload
+    state.setdefault("win_batches_prev", 0)
+    state.setdefault("win_windows_prev", 0)
     state.setdefault("reloads", 0)
     state.setdefault("enh_seconds_sum", 0.0)
     state["mlock"] = threading.Lock()       # counters (requests/sums/passes)
@@ -201,9 +209,10 @@ def make_handler(cfg, segan, state):
                 return self._metrics()
             if path != "/healthz":
                 return self._json(404, {"error": "unknown path"})
-            c, eng, bt = state["gen"]
+            c, eng, bt, wb = state["gen"]
             with state["mlock"]:
                 requests, bp = state["requests"], state["batches_prev"]
+                wbp, wwp = state["win_batches_prev"], state["win_windows_prev"]
             self._json(200, {
                 "status": "draining" if state.get("draining") else "ok",
                 "model": type(eng).__name__,  # actual engine class, not flags
@@ -212,6 +221,9 @@ def make_handler(cfg, segan, state):
                 "requests": requests,
                 "batches": bp + bt.batches,
                 "batch_chunk_budget": bt.effective_max_chunks,
+                "stream_coalesce": wb is not None,
+                "win_batches": wbp + (wb.batches if wb else 0),
+                "win_windows": wwp + (wb.windows if wb else 0),
                 "inflight": inflight.count(),
                 "auth": bool(auth_token),
                 "reloads": state["reloads"],
@@ -221,15 +233,22 @@ def make_handler(cfg, segan, state):
         def _metrics(self):
             """Prometheus text exposition (open like /healthz: scrapers are
             cluster-internal; the enhancement endpoints stay token-gated)."""
-            bt = state["gen"][2]
+            bt, wb = state["gen"][2], state["gen"][3]
             with state["mlock"]:
                 enh_sum = state["enh_seconds_sum"]
                 requests, bp = state["requests"], state["batches_prev"]
+                wbp, wwp = state["win_batches_prev"], state["win_windows_prev"]
             lines = [
                 "# TYPE segan_requests_total counter",
                 f"segan_requests_total {requests}",
                 "# TYPE segan_device_passes_total counter",
                 f"segan_device_passes_total {bp + bt.batches}",
+                "# TYPE segan_stream_window_passes_total counter",
+                f"segan_stream_window_passes_total "
+                f"{wbp + (wb.batches if wb else 0)}",
+                "# TYPE segan_stream_windows_total counter",
+                f"segan_stream_windows_total "
+                f"{wwp + (wb.windows if wb else 0)}",
                 "# TYPE segan_inflight_requests gauge",
                 f"segan_inflight_requests {inflight.count()}",
                 "# TYPE segan_reloads_total counter",
@@ -309,7 +328,7 @@ def make_handler(cfg, segan, state):
                 return self._json(400, {"error": f"bad wav: {e}"})
             if rate != 16000:
                 return self._json(400, {"error": f"expected 16 kHz, got {rate}"})
-            gen_cfg, _, gen_batcher = state["gen"]  # one consistent generation
+            gen_cfg, _, gen_batcher, _ = state["gen"]  # consistent generation
             try:
                 pwav = pre_emphasize_np(
                     np.asarray(normalize_wave_minmax(_as_int16(wav))),
@@ -366,14 +385,16 @@ def make_handler(cfg, segan, state):
                         nengine,
                         target_batch_seconds=state.get(
                             "target_batch_seconds", 0.0))
+                    nwb = (WindowBatcher(nengine)
+                           if state.get("stream_coalesce", True) else None)
                 except Exception as e:
                     return self._json(500, {"error": f"reload failed: {e}"})
-                old_batcher = state["gen"][2]
-                state["gen"] = (ncfg, nengine, nbatcher)  # tear-free publish
+                old_batcher, old_wb = state["gen"][2], state["gen"][3]
+                state["gen"] = (ncfg, nengine, nbatcher, nwb)  # tear-free
                 state["cfg_file"] = cfg_file
                 state["reloads"] += 1
 
-            def _retire(b=old_batcher):
+            def _retire(b=old_batcher, w=old_wb):
                 # requests that snapshotted the old generation before the swap
                 # may still be enhancing on it (enhance timeout 120 s); close
                 # afterwards so its worker thread, jit caches, and device
@@ -382,9 +403,14 @@ def make_handler(cfg, segan, state):
                 time.sleep(150)
                 try:
                     b.close()
+                    if w is not None:
+                        w.close()
                 finally:
                     with state["mlock"]:
                         state["batches_prev"] += b.batches
+                        if w is not None:
+                            state["win_batches_prev"] += w.batches
+                            state["win_windows_prev"] += w.windows
 
             threading.Thread(target=_retire, daemon=True,
                              name="batcher-retire").start()
@@ -452,7 +478,7 @@ def make_handler(cfg, segan, state):
                 self.wfile.write(b"%x\r\n%s\r\n" % (len(data), data))
 
         def _enhance_stream(self, params, chunked):
-            gen_cfg, gen_engine, _ = state["gen"]  # one consistent generation
+            gen_cfg, gen_engine, _, gen_wb = state["gen"]  # one generation
             try:
                 overlap = float(params.get("overlap", 0.25))
                 window = int(params.get("window", gen_cfg.slice_size))
@@ -463,7 +489,8 @@ def make_handler(cfg, segan, state):
             try:
                 rng = None if seed is None else jax.random.PRNGKey(seed)
                 streamer = StreamingEnhancer(gen_engine, window=window,
-                                             overlap=overlap, rng=rng)
+                                             overlap=overlap, rng=rng,
+                                             batcher=gen_wb)
             except ValueError as e:  # bad window/overlap
                 self.close_connection = True
                 return self._json(400, {"error": str(e)})
@@ -585,7 +612,7 @@ def make_ws_handler(state):
         if path != "/enhance_stream":
             ws.close(code=1008, reason="unknown path")
             return
-        gen_cfg, gen_engine, _ = state["gen"]  # one consistent generation
+        gen_cfg, gen_engine, _, gen_wb = state["gen"]  # consistent generation
         # Bound WRITES: ws.send ultimately blocks in sendall, and a client
         # that stops reading would otherwise hold the (non-daemon) connection
         # thread forever — past SIGTERM drain. SO_SNDTIMEO times out sends
@@ -608,7 +635,8 @@ def make_ws_handler(state):
             seed = int(params["seed"]) if "seed" in params else None
             rng = None if seed is None else jax.random.PRNGKey(seed)
             streamer = StreamingEnhancer(gen_engine, window=window,
-                                         overlap=overlap, rng=rng)
+                                         overlap=overlap, rng=rng,
+                                         batcher=gen_wb)
         except ValueError as e:  # bad query param / window / overlap
             ws.close(code=1008, reason=str(e)[:120])
             return
@@ -705,6 +733,13 @@ def main():
                    help=">0: adapt the MicroBatcher chunk budget so one "
                         "coalesced device pass stays under this latency "
                         "(measured from warm batches; 0 = fixed budget)")
+    p.add_argument("--no_stream_coalesce", action="store_true",
+                   help="disable coalescing concurrent streaming sessions' "
+                        "window forwards into shared device passes. Coalesced "
+                        "output equals the per-session path to float "
+                        "tolerance (~1 ulp: XLA retiles convs per batch "
+                        "shape); disable for bit-determinism independent of "
+                        "concurrent load")
     p.add_argument("--ws_port", type=int, default=0,
                    help="also serve /enhance_stream over WebSocket on this "
                         "port (0 = off): binary PCM16 frames in/out, text "
@@ -750,6 +785,7 @@ def main():
     state = {"warm_s": 0.0, "requests": 0, "verbose": opts.verbose,
              "max_stream_seconds": opts.max_stream_seconds,
              "target_batch_seconds": opts.target_batch_seconds,
+             "stream_coalesce": not opts.no_stream_coalesce,
              "auth_token": opts.auth_token or os.environ.get(
                  "SEGAN_SERVE_TOKEN", ""),
              "inflight": inflight, "draining": False,

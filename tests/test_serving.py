@@ -11,7 +11,8 @@ from segan_pytorch_tpu.utils.config import SEGANConfig
 from segan_pytorch_tpu.models import SEGAN
 from segan_pytorch_tpu.ops.signal import pre_emphasize_np, de_emphasize_np
 from segan_pytorch_tpu.parallel.inference import chunk_grid, overlap_add
-from segan_pytorch_tpu.utils.serving import MicroBatcher, StreamingEnhancer
+from segan_pytorch_tpu.utils.serving import (MicroBatcher, StreamingEnhancer,
+                                              WindowBatcher)
 import pytest
 
 pytestmark = pytest.mark.quick
@@ -265,6 +266,122 @@ class TestServedAEWSEGAN:
             assert batcher.effective_max_chunks >= batcher.min_batch_chunks
         finally:
             batcher.close()
+
+
+class TestWindowBatcher:
+    """Concurrent streaming sessions share device passes (VERDICT r3 #4)."""
+
+    def _direct(self, segan, wseg, z):
+        x = jnp.asarray(wseg.reshape(1, -1, 1))
+        out, _ = segan._gfwd_jit()(segan.state.g_params, segan.state.g_vars,
+                                   x, z)
+        return np.asarray(out)[0, :, 0]
+
+    def test_coalesced_equals_per_session(self):
+        """A forced 3-job batch = ONE device pass; each row matches that
+        session's per-session (1, S, 1) forward within float tolerance (XLA
+        retiles convs per batch shape — same tolerance as the MicroBatcher
+        parity test), and a repeat of the SAME composition is bit-equal."""
+        segan = tiny_engine()
+        S = 1024
+        wsegs = [raw_wav(S, seed=i) for i in range(3)]
+        zs = [jnp.asarray(np.asarray(
+            segan.G.sample_z(jax.random.PRNGKey(20 + i), (1, S, 1))))
+            for i in range(3)]
+        direct = [self._direct(segan, w, z) for w, z in zip(wsegs, zs)]
+
+        wb = WindowBatcher(segan)
+        try:
+            from segan_pytorch_tpu.utils.serving import _WinJob
+
+            def force_batch():
+                jobs = [_WinJob(w, z) for w, z in zip(wsegs, zs)]
+                with wb._cv:
+                    wb._queue.extend(jobs)
+                    wb._cv.notify()
+                for j in jobs:
+                    assert j.event.wait(120)
+                    assert j.error is None, j.error
+                return jobs
+
+            before = wb.batches
+            jobs = force_batch()
+            assert wb.batches == before + 1   # one shared pass for 3 windows
+            assert wb.windows == 3
+            for j, d in zip(jobs, direct):
+                np.testing.assert_allclose(j.result, d, atol=2e-6)
+            # determinism: identical batch composition -> bit-identical rows
+            jobs2 = force_batch()
+            for a, b in zip(jobs, jobs2):
+                np.testing.assert_array_equal(a.result, b.result)
+        finally:
+            wb.close()
+
+    def test_mixed_window_sizes_never_share_a_pass(self):
+        segan = tiny_engine()
+        wb = WindowBatcher(segan)
+        try:
+            from segan_pytorch_tpu.utils.serving import _WinJob
+
+            sizes = [1024, 2048, 1024, 2048]
+            jobs = [_WinJob(raw_wav(s, seed=i),
+                            jnp.asarray(np.asarray(segan.G.sample_z(
+                                jax.random.PRNGKey(i), (1, s, 1)))))
+                    for i, s in enumerate(sizes)]
+            with wb._cv:
+                wb._queue.extend(jobs)
+                wb._cv.notify()
+            for j in jobs:
+                assert j.event.wait(120)
+                assert j.error is None, j.error
+            # one pass per distinct window length (compiled shapes differ)
+            assert wb.batches == 2
+            for j, s in zip(jobs, sizes):
+                assert j.result.shape == (s,)
+        finally:
+            wb.close()
+
+    def test_streaming_sessions_through_shared_batcher(self):
+        """Full streams routed through a shared WindowBatcher reproduce the
+        per-session StreamingEnhancer output (per-session z preserved), and
+        concurrent same-shape hops coalesce."""
+        segan = tiny_engine()
+        wav_a, wav_b = raw_wav(2500, seed=1), raw_wav(2500, seed=2)
+        rng_a, rng_b = jax.random.PRNGKey(3), jax.random.PRNGKey(4)
+
+        def run(wav, rng, batcher):
+            st = StreamingEnhancer(segan, window=1024, overlap=0.25, rng=rng,
+                                   batcher=batcher)
+            return np.concatenate([st.feed(wav), st.flush()])
+
+        solo_a = run(wav_a, rng_a, None)
+        solo_b = run(wav_b, rng_b, None)
+
+        wb = WindowBatcher(segan)
+        try:
+            got = [None, None]
+            ts = [threading.Thread(
+                target=lambda i=i, w=w, r=r: got.__setitem__(
+                    i, run(w, r, wb)))
+                for i, (w, r) in enumerate(((wav_a, rng_a), (wav_b, rng_b)))]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join(timeout=240)
+            np.testing.assert_allclose(got[0], solo_a, atol=2e-6)
+            np.testing.assert_allclose(got[1], solo_b, atol=2e-6)
+            assert wb.windows >= 6  # 3 windows per 2500-sample stream each
+        finally:
+            wb.close()
+
+    def test_batcher_engine_mismatch_rejected(self):
+        a, b = tiny_engine(), tiny_engine()
+        wb = WindowBatcher(a)
+        try:
+            with pytest.raises(ValueError):
+                StreamingEnhancer(b, window=1024, batcher=wb)
+        finally:
+            wb.close()
 
 
 class TestStreamingEnhancer:

@@ -250,3 +250,63 @@ class TestSTOIPaperProperties:
         scores = [stoi(clean, clean + s * noise, 10000)
                   for s in (0.0, 0.05, 0.15, 0.4, 1.0)]
         assert all(a > b for a, b in zip(scores, scores[1:])), scores
+
+
+class TestDiagnosticSurface:
+    """The VERDICT-r3-#3 diagnosis hooks: per-band profile and VAD override."""
+
+    def test_band_profile_mean_equals_stoi(self):
+        from segan_pytorch_tpu.metrics.stoi import stoi_band_profile
+        from segan_pytorch_tpu.metrics.stoi import NUM_BANDS, MIN_FREQ
+
+        clean = _speechlike(30000, 3)
+        rng = np.random.RandomState(9)
+        deg = clean + 0.2 * rng.randn(len(clean))
+        cf, per_band = stoi_band_profile(clean, deg, 10000)
+        assert per_band.shape == (NUM_BANDS,)
+        k = np.arange(NUM_BANDS)
+        np.testing.assert_allclose(cf, 2.0 ** (k / 3.0) * MIN_FREQ)
+        # stoi() is exactly the band-profile mean (same inner computation)
+        np.testing.assert_allclose(float(per_band.mean()),
+                                   stoi(clean, deg, 10000), rtol=1e-12)
+
+    def test_band_profile_localizes_floor_suppression(self):
+        """The demo-corpus STOI-regression mechanism in miniature: when the
+        'clean' reference carries an incompressible noise floor, that floor is
+        the ONLY content of bands outside the voiced harmonics — an enhancer
+        that (correctly) suppresses it zeroes those bands' envelopes and their
+        correlation collapses, dragging the STOI mean down even though the
+        voiced band is reproduced perfectly. The band profile must localize
+        the damage: voiced band high, floor-only bands low."""
+        from segan_pytorch_tpu.metrics.stoi import stoi_band_profile
+
+        rng = np.random.RandomState(4)
+        n = 40000
+        t = np.arange(n) / 10000.0
+        env = np.clip(np.sin(2 * np.pi * 2.5 * t), 0.0, None)
+        voiced = np.sin(2 * np.pi * 311 * t) * env
+        floor = 0.012 * rng.randn(n)        # ~-35 dB re peak, all bands
+        clean = voiced + floor
+        enh = voiced.copy()                  # perfect speech, floor suppressed
+        cf, prof = stoi_band_profile(clean, enh, 10000)
+        voiced_band = int(np.argmin(np.abs(cf - 311.0)))
+        assert prof[voiced_band] > 0.9, prof[voiced_band]
+        others = np.delete(prof, voiced_band)
+        assert np.nanmean(others) < 0.4, others
+        # and the scalar STOI is dragged down by exactly those bands
+        assert stoi(clean, enh, 10000) < 0.5
+
+    def test_dyn_range_is_honored(self):
+        """Stricter VAD keeps fewer frames: craft a signal with a -30 dB tail
+        section — inside the 40 dB range, outside a 20 dB one — so the two
+        settings must score differently."""
+        rng = np.random.RandomState(11)
+        loud = _speechlike(20000, 13)
+        quiet = 0.03 * _speechlike(20000, 14)        # ~-30 dB re loud
+        clean = np.concatenate([loud, quiet])
+        deg = clean + 0.05 * rng.randn(len(clean))
+        s40 = stoi(clean, deg, 10000)
+        s20 = stoi(clean, deg, 10000, dyn_range=20)
+        assert not np.isclose(s40, s20), (s40, s20)
+        # the quiet tail is noisier relative to its level: excluding it helps
+        assert s20 > s40, (s20, s40)

@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 SR = 16000
 
 
-def speechlike_utterance(rng: np.random.RandomState, n: int) -> np.ndarray:
+def speechlike_utterance(rng: np.random.RandomState, n: int,
+                         style: str = "v1") -> np.ndarray:
     t = np.arange(n) / SR
     # wandering pitch: random walk around a per-speaker base
     base_f0 = rng.uniform(90.0, 220.0)
@@ -35,7 +36,17 @@ def speechlike_utterance(rng: np.random.RandomState, n: int) -> np.ndarray:
     syl = rng.uniform(2.0, 4.5)
     env = np.clip(np.sin(2 * np.pi * syl * t + rng.uniform(0, 6.28)), 0.0, None)
     env = env ** rng.uniform(0.7, 1.5)
-    sig = sig * env + 0.01 * rng.randn(n)
+    if style == "v1":
+        # original corpus: CONSTANT aspiration noise — the pauses carry a
+        # ~-34 dB incompressible noise floor that stays inside STOI's 40 dB
+        # VAD and penalizes any enhancer that (correctly) suppresses it
+        # (BENCH.md STOI-regression diagnosis; kept for reproducibility)
+        sig = sig * env + 0.01 * rng.randn(n)
+    else:
+        # v2: breath noise rides the syllabic envelope, so pauses are true
+        # silence (removed by STOI's VAD) and the voiced aspiration is part
+        # of the target the enhancer should preserve
+        sig = (sig + 0.02 * rng.randn(n)) * env
     sig = sig / (np.abs(sig).max() + 1e-9) * rng.uniform(0.3, 0.8)
     return sig.astype(np.float32)
 
@@ -64,7 +75,8 @@ def mix_at_snr(clean: np.ndarray, noise: np.ndarray, snr_db: float) -> np.ndarra
     return noisy.astype(np.float32)
 
 
-def write_split(out: str, split: str, n_utts: int, dur: float, seed: int):
+def write_split(out: str, split: str, n_utts: int, dur: float, seed: int,
+                style: str = "v1"):
     from segan_pytorch_tpu.data.wav_io import write_wav
 
     cdir = os.path.join(out, f"clean_{split}")
@@ -74,7 +86,7 @@ def write_split(out: str, split: str, n_utts: int, dur: float, seed: int):
     n = int(dur * SR)
     for i in range(n_utts):
         rng = np.random.RandomState(seed + i)
-        clean = speechlike_utterance(rng, n)
+        clean = speechlike_utterance(rng, n, style=style)
         noisy = mix_at_snr(clean, bandlimited_noise(rng, n),
                            rng.uniform(5.0, 10.0))
         name = f"utt_{split}_{i:04d}.wav"
@@ -90,9 +102,16 @@ def main():
     p.add_argument("--n_test", type=int, default=16)
     p.add_argument("--dur", type=float, default=3.0)
     p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--style", choices=["v1", "v2"], default="v1",
+                   help="v1 = original (constant aspiration floor; kept so "
+                        "earlier BENCH.md numbers reproduce); v2 = breath "
+                        "noise modulated by the syllabic envelope (pauses "
+                        "are true silence — fixes the STOI-VAD artifact)")
     args = p.parse_args()
-    write_split(args.out, "trainset", args.n_train, args.dur, args.seed)
-    write_split(args.out, "testset", args.n_test, args.dur, args.seed + 100000)
+    write_split(args.out, "trainset", args.n_train, args.dur, args.seed,
+                style=args.style)
+    write_split(args.out, "testset", args.n_test, args.dur, args.seed + 100000,
+                style=args.style)
 
 
 if __name__ == "__main__":

@@ -167,6 +167,29 @@ def bench_stream(base, pcm, window, overlap, reps_windows):
     return first_audio_ms, lags
 
 
+def bench_concurrent_streams(base, pcm, window, overlap, n, reps_windows):
+    """N concurrent streaming sessions fed in (approximate) lockstep; returns
+    (per-session lag lists, wall ms). Combined with the healthz win_batches
+    delta this shows whether concurrent hops share device passes (the
+    WindowBatcher) instead of serializing N forwards per hop."""
+    barrier = threading.Barrier(n + 1)
+    results = [None] * n
+
+    def worker(i):
+        barrier.wait()
+        results[i] = bench_stream(base, pcm, window, overlap, reps_windows)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    barrier.wait()
+    t0 = time.perf_counter()
+    for t in threads:
+        t.join()
+    wall = (time.perf_counter() - t0) * 1e3
+    return results, wall
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--g_ckpt", required=True)
@@ -178,6 +201,9 @@ def main():
     ap.add_argument("--window", type=int, default=4096)
     ap.add_argument("--overlap", type=float, default=0.25)
     ap.add_argument("--stream_windows", type=int, default=16)
+    ap.add_argument("--stream_concurrency", type=int, default=4,
+                    help="concurrent streaming sessions for the shared-pass "
+                         "(WindowBatcher) measurement; 0 disables")
     ap.add_argument("--warm_seconds", type=float, default=2.0)
     ap.add_argument("--startup_timeout", type=float, default=600)
     ap.add_argument("--log", default="/tmp/serving_bench_server.log")
@@ -202,6 +228,30 @@ def main():
         bench_stream(base, pcm_long, args.window, args.overlap, 2)  # warm stream shapes
         first_ms, lags = bench_stream(base, pcm_long, args.window,
                                       args.overlap, args.stream_windows)
+        conc_stream = {}
+        if args.stream_concurrency > 1:
+            # warm the coalesced row-bucket shapes, then measure
+            bench_concurrent_streams(base, pcm_long, args.window,
+                                     args.overlap, args.stream_concurrency, 2)
+            hs0 = healthz(base)
+            sres, swall = bench_concurrent_streams(
+                base, pcm_long, args.window, args.overlap,
+                args.stream_concurrency, args.stream_windows)
+            hs1 = healthz(base)
+            win_passes = hs1.get("win_batches", 0) - hs0.get("win_batches", 0)
+            win_windows = hs1.get("win_windows", 0) - hs0.get("win_windows", 0)
+            all_lags = [v for (_, ls) in sres for v in ls]
+            conc_stream = {
+                "stream_concurrency": args.stream_concurrency,
+                "stream_conc_window_passes": win_passes,
+                "stream_conc_windows": win_windows,
+                # >1 means concurrent hops shared device passes
+                "stream_windows_per_pass": (round(win_windows / win_passes, 2)
+                                            if win_passes else None),
+                "stream_conc_lag_p50_ms": (round(statistics.median(all_lags), 1)
+                                           if all_lags else None),
+                "stream_conc_wall_ms": round(swall, 1),
+            }
         out = {
             "metric": "serving_latency",
             "utt_seconds": args.dur,
@@ -218,6 +268,7 @@ def main():
             "stream_lag_p50_ms": round(statistics.median(lags), 1) if lags else None,
             "stream_lag_p90_ms": (round(sorted(lags)[int(0.9 * (len(lags) - 1))], 1)
                                   if lags else None),
+            **conc_stream,
         }
         print(json.dumps(out))
     finally:
