@@ -48,6 +48,26 @@ namespace {
 constexpr double KPI = 3.14159265358979323846;
 
 // ---------------------------------------------------------------------------
+// Published ITU scalar constants, defined ONCE and shared by the pipeline and
+// the pesq862_constants() export (so the export genuinely pins what the
+// pipeline computes with — see tests/test_pesq_crosspin.py).
+// ---------------------------------------------------------------------------
+// P.862.2 / P.862.1 output mappings: MOS = offset + span/(1+exp(-slope*raw+bias))
+constexpr double MAP_OFFSET = 0.999, MAP_SPAN = 4.0;
+constexpr double WB_MAP_SLOPE = 1.3669, WB_MAP_BIAS = 3.8224;
+constexpr double NB_MAP_SLOPE = 1.4945, NB_MAP_BIAS = 4.6607;
+// P.862.2 wideband input IIR (ITU pesqpar.h WB_InIIR_Hsos): {b0, b1, b2, a1, a2}
+constexpr double WB_IIR_16K[5] = {2.6657628, -5.3315255, 2.6657628,
+                                  -1.8890331, 0.89487458};
+constexpr double WB_IIR_8K[5] = {2.740826, -5.4816519, 2.740826,
+                                 -1.9444777, 0.94597794};
+// calibration constants (pesqpar.h): Sp (power), Sl (loudness)
+constexpr double SP_16K = 6.910853e-006, SP_8K = 2.764344e-5;
+constexpr double SL_CAL = 1.866055e-1;
+// raw-score disturbance weights (P.862 §10.3)
+constexpr double RAW_D_WEIGHT = 0.1, RAW_DA_WEIGHT = 0.0309;
+
+// ---------------------------------------------------------------------------
 // FFT (iterative radix-2, double precision)
 // ---------------------------------------------------------------------------
 void fft_inplace(std::vector<std::complex<double>>& a, bool inverse) {
@@ -127,9 +147,8 @@ BarkTables build_tables(int fs, bool wb) {
   t.Nf = (fs == 16000) ? 512 : 256;       // 32 ms windows
   t.Nb_fft = t.Nf / 2;                    // 31.25 Hz bins at both rates
   t.Nb = (fs == 16000) ? 49 : 42;         // ITU band counts
-  // ITU calibration constants (pesqpar.h): Sp (power), Sl (loudness)
-  t.Sp = (fs == 16000) ? 6.910853e-006 : 2.764344e-5;
-  t.Sl = 1.866055e-1;
+  t.Sp = (fs == 16000) ? SP_16K : SP_8K;
+  t.Sl = SL_CAL;
   const double bin_hz = double(fs) / double(t.Nf);
   // Band edges uniform in Bark from the first bin centre to the band limit
   // (P.862 analyses slightly below Nyquist; use 0.5*fs*(Nb_fft-1)/Nb_fft).
@@ -178,14 +197,8 @@ BarkTables build_tables(int fs, bool wb) {
 // ---------------------------------------------------------------------------
 // P.862.2 wideband input IIR (ITU pesqpar.h WB_InIIR_Hsos): one biquad
 void wb_input_filter(std::vector<double>& x, int fs) {
-  double b0, b1, b2, a1, a2;
-  if (fs == 16000) {
-    b0 = 2.6657628; b1 = -5.3315255; b2 = 2.6657628;
-    a1 = -1.8890331; a2 = 0.89487458;
-  } else {
-    b0 = 2.740826; b1 = -5.4816519; b2 = 2.740826;
-    a1 = -1.9444777; a2 = 0.94597794;
-  }
+  const double* c = (fs == 16000) ? WB_IIR_16K : WB_IIR_8K;
+  const double b0 = c[0], b1 = c[1], b2 = c[2], a1 = c[3], a2 = c[4];
   double w1 = 0, w2 = 0;
   for (auto& s : x) {
     const double w0 = s - a1 * w1 - a2 * w2;
@@ -747,16 +760,16 @@ double pesq862(const float* ref, long nref, const float* deg, long ndeg,
   const double d_sym = lpq_weight(frame_sym, ones, 6.0, 2.0, 20);
   const double d_asym = lpq_weight(frame_asym, ones, 6.0, 2.0, 20);
 
-  double raw = 4.5 - 0.1 * d_sym - 0.0309 * d_asym;
+  double raw = 4.5 - RAW_D_WEIGHT * d_sym - RAW_DA_WEIGHT * d_asym;
   if (raw < -0.5) raw = -0.5;
   if (raw > 4.5) raw = 4.5;
   if (raw_out) *raw_out = raw;
   // output mappings: P.862.1 (narrowband) / P.862.2 (wideband) logistic
   double mos;
   if (wb)
-    mos = 0.999 + 4.0 / (1.0 + std::exp(-1.3669 * raw + 3.8224));
+    mos = MAP_OFFSET + MAP_SPAN / (1.0 + std::exp(-WB_MAP_SLOPE * raw + WB_MAP_BIAS));
   else
-    mos = 0.999 + 4.0 / (1.0 + std::exp(-1.4945 * raw + 4.6607));
+    mos = MAP_OFFSET + MAP_SPAN / (1.0 + std::exp(-NB_MAP_SLOPE * raw + NB_MAP_BIAS));
   return mos;
 }
 
@@ -764,6 +777,50 @@ double pesq862(const float* ref, long nref, const float* deg, long ndeg,
 const char* pesq862_provenance() {
   return "p862-structure-native; tables regenerated from published formulas; "
          "NOT ITU-certified — validate with tools/pesq_validate.py";
+}
+
+// Export the COMPILED scalar constants so tests can assert them against the
+// published ITU values (P.862.1/P.862.2 output mappings, the P.862.2 wideband
+// input IIR sections, Sp/Sl calibration, raw-score weights) — a typo in any
+// of them would otherwise hide inside the pipeline (VERDICT r3 #5).
+// Layout (n must be >= 21):
+//   [0..3]   wb mapping: offset, span, slope, bias      (0.999, 4.0, 1.3669, 3.8224)
+//   [4..7]   nb mapping: offset, span, slope, bias      (0.999, 4.0, 1.4945, 4.6607)
+//   [8..12]  wb input IIR @16k: b0, b1, b2, a1, a2
+//   [13..17] wb input IIR @8k:  b0, b1, b2, a1, a2
+//   [18]     Sp @16k   [19] Sp @8k   [20] Sl
+//   [21]     raw D weight (0.1)     [22] raw DA weight (0.0309)
+// Returns the number of values written (23), or 0 if n is too small.
+int pesq862_constants(double* out, int n) {
+  if (!out || n < 23) return 0;
+  const double vals[23] = {
+      MAP_OFFSET, MAP_SPAN, WB_MAP_SLOPE, WB_MAP_BIAS,
+      MAP_OFFSET, MAP_SPAN, NB_MAP_SLOPE, NB_MAP_BIAS,
+      WB_IIR_16K[0], WB_IIR_16K[1], WB_IIR_16K[2], WB_IIR_16K[3], WB_IIR_16K[4],
+      WB_IIR_8K[0], WB_IIR_8K[1], WB_IIR_8K[2], WB_IIR_8K[3], WB_IIR_8K[4],
+      SP_16K, SP_8K, SL_CAL,
+      RAW_D_WEIGHT, RAW_DA_WEIGHT};
+  for (int i = 0; i < 23; i++) out[i] = vals[i];
+  return 23;
+}
+
+// Export the regenerated Bark tables for cross-pinning against an independent
+// regeneration (tests/test_pesq_crosspin.py). Arrays must hold >= 64 entries.
+// Returns Nb (number of bands), or 0 on bad args.
+int pesq862_tables(int fs, int* first_bin, int* bins_per_band,
+                   double* centre_hz, double* width_bark, double* abs_thresh) {
+  if (fs != 8000 && fs != 16000) return 0;
+  if (!first_bin || !bins_per_band || !centre_hz || !width_bark || !abs_thresh)
+    return 0;
+  const BarkTables t = build_tables(fs, true);
+  for (int i = 0; i < t.Nb; i++) {
+    first_bin[i] = t.first_bin[i];
+    bins_per_band[i] = t.bins_per_band[i];
+    centre_hz[i] = t.centre_hz[i];
+    width_bark[i] = t.width_bark[i];
+    abs_thresh[i] = t.abs_thresh[i];
+  }
+  return t.Nb;
 }
 
 }  // extern "C"

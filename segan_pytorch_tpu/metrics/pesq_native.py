@@ -65,8 +65,61 @@ def get_lib():
         ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_double),
     ]
     lib.pesq862_provenance.restype = ctypes.c_char_p
+    lib.pesq862_constants.restype = ctypes.c_int
+    lib.pesq862_constants.argtypes = [ctypes.POINTER(ctypes.c_double),
+                                      ctypes.c_int]
+    lib.pesq862_tables.restype = ctypes.c_int
+    lib.pesq862_tables.argtypes = [
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double)]
     _LIB = lib
     return _LIB
+
+
+def pesq_compiled_constants() -> Optional[dict]:
+    """The scalar constants the COMPILED pipeline uses (P.862.1/.2 mappings,
+    wideband input IIR, Sp/Sl, raw-score weights) — for asserting against the
+    published ITU values (tests/test_pesq_crosspin.py)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = (ctypes.c_double * 23)()
+    if lib.pesq862_constants(buf, 23) != 23:
+        return None
+    v = list(buf)
+    return {
+        "wb_map": {"offset": v[0], "span": v[1], "slope": v[2], "bias": v[3]},
+        "nb_map": {"offset": v[4], "span": v[5], "slope": v[6], "bias": v[7]},
+        "wb_iir_16k": v[8:13],
+        "wb_iir_8k": v[13:18],
+        "sp_16k": v[18], "sp_8k": v[19], "sl": v[20],
+        "raw_d_weight": v[21], "raw_da_weight": v[22],
+    }
+
+
+def pesq_compiled_tables(fs: int) -> Optional[dict]:
+    """The regenerated Bark tables as the compiled library built them — for
+    cross-pinning against an independent regeneration."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    MAXB = 64
+    fb = (ctypes.c_int * MAXB)()
+    bpb = (ctypes.c_int * MAXB)()
+    cz = (ctypes.c_double * MAXB)()
+    wz = (ctypes.c_double * MAXB)()
+    az = (ctypes.c_double * MAXB)()
+    nb = lib.pesq862_tables(int(fs), fb, bpb, cz, wz, az)
+    if nb <= 0:
+        return None
+    return {"nb": nb,
+            "first_bin": np.array(fb[:nb]),
+            "bins_per_band": np.array(bpb[:nb]),
+            "centre_hz": np.array(cz[:nb]),
+            "width_bark": np.array(wz[:nb]),
+            "abs_thresh": np.array(az[:nb])}
 
 
 def pesq_native(ref_wav: np.ndarray, deg_wav: np.ndarray, sr: int = 16000,
