@@ -286,6 +286,24 @@ class WindowBatcher:
             self._cv.notify_all()
         self._worker.join(timeout=5)
 
+    def warm(self, window: int, max_rows: Optional[int] = None):
+        """Pre-compile the pow2 row buckets for `window` (serve.py calls this
+        with the default window during --warm_seconds startup, so the first
+        concurrent streams never pay an XLA compile mid-hop). Runs the passes
+        inline on the caller's thread."""
+        segan = self.segan
+        rows, cap = 1, max_rows or self.max_rows
+        while rows <= cap:
+            x = jnp.zeros((rows, window, 1), jnp.float32)
+            z = None
+            if not segan.G.no_z:
+                z = jnp.asarray(np.asarray(segan.G.sample_z(
+                    jax.random.PRNGKey(0), (rows, window, 1))))
+            out, _ = segan._gfwd_jit()(segan.state.g_params,
+                                       segan.state.g_vars, x, z)
+            jax.block_until_ready(out)
+            rows *= 2
+
     def enhance_window(self, wseg: np.ndarray, z=None,
                        timeout: Optional[float] = 120.0) -> np.ndarray:
         """Blocking single-window forward; drop-in for the per-session

@@ -156,10 +156,18 @@ def make_handler(cfg, segan, state):
     # concurrent STREAMING sessions' window forwards into shared device passes
     # (None with --no_stream_coalesce: per-session forwards, bit-deterministic
     # regardless of concurrent load).
+    wb0 = WindowBatcher(segan) if state.get("stream_coalesce", True) else None
+    if wb0 is not None and float(state.get("warm_seconds", 0)) > 0:
+        # pre-compile the streaming row buckets for the default window so the
+        # first concurrent streams never pay an XLA compile mid-hop
+        t0 = time.perf_counter()
+        wb0.warm(cfg.slice_size, max_rows=8)  # 4 shapes; 16+ rows compile lazily
+        if state["verbose"]:
+            print(f"[serve] stream-batch warm compile: "
+                  f"{time.perf_counter() - t0:.1f} s", flush=True)
     state["gen"] = (cfg, segan, MicroBatcher(
         segan,
-        target_batch_seconds=state.get("target_batch_seconds", 0.0)),
-        WindowBatcher(segan) if state.get("stream_coalesce", True) else None)
+        target_batch_seconds=state.get("target_batch_seconds", 0.0)), wb0)
     state.setdefault("batches_prev", 0)  # passes from engines retired by reload
     state.setdefault("win_batches_prev", 0)
     state.setdefault("win_windows_prev", 0)
@@ -387,6 +395,8 @@ def make_handler(cfg, segan, state):
                             "target_batch_seconds", 0.0))
                     nwb = (WindowBatcher(nengine)
                            if state.get("stream_coalesce", True) else None)
+                    if nwb is not None and warm_s > 0:
+                        nwb.warm(ncfg.slice_size, max_rows=8)
                 except Exception as e:
                     return self._json(500, {"error": f"reload failed: {e}"})
                 old_batcher, old_wb = state["gen"][2], state["gen"][3]

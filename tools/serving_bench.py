@@ -51,6 +51,8 @@ def launch(args):
     cmd = [sys.executable, "serve.py",
            "--g_pretrained_ckpt", args.g_ckpt, "--cfg_file", args.cfg_file,
            "--port", str(args.port), "--warm_seconds", str(args.warm_seconds)]
+    if args.no_stream_coalesce:
+        cmd.append("--no_stream_coalesce")
     proc = subprocess.Popen(cmd, cwd=REPO, env=env, stdout=log_f,
                             stderr=subprocess.STDOUT, text=True)
     base = f"http://127.0.0.1:{args.port}"
@@ -204,6 +206,9 @@ def main():
     ap.add_argument("--stream_concurrency", type=int, default=4,
                     help="concurrent streaming sessions for the shared-pass "
                          "(WindowBatcher) measurement; 0 disables")
+    ap.add_argument("--no_stream_coalesce", action="store_true",
+                    help="launch the server with per-session window forwards "
+                         "(A/B baseline for the coalescing measurement)")
     ap.add_argument("--warm_seconds", type=float, default=2.0)
     ap.add_argument("--startup_timeout", type=float, default=600)
     ap.add_argument("--log", default="/tmp/serving_bench_server.log")
