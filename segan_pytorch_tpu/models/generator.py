@@ -100,6 +100,10 @@ class Generator(nn.Module):
     skip_merge: str = "sum"
     skip_kwidth: int = 11
     use_pallas: bool = False
+    # decoder transposed-conv lowering (cfg.deconv_impl; None = 'dilated').
+    # AEWSEGAN defaults to 'edge-blocked' (BENCH.md r4 matrix, +2.1% at batch
+    # 150); all lowerings are mathematically identical
+    deconv_impl: Optional[str] = None
 
     def _plan(self):
         """Derive the static architecture plan (mirrors ref generator.py:103-178)."""
@@ -214,6 +218,7 @@ class Generator(nn.Module):
                     norm_type=self.norm_type,
                     use_bias=self.use_bias,
                     act=act,
+                    deconv_impl=self.deconv_impl,
                     name=f"dec_blocks_{l_i}",
                 )(hi, train=train)
             else:
@@ -256,5 +261,6 @@ def build_generator(cfg) -> Generator:
         skip_merge=cfg.skip_merge,
         skip_kwidth=cfg.skip_kwidth,
         use_pallas=getattr(cfg, "use_pallas", False),
+        deconv_impl=getattr(cfg, "deconv_impl", None),
         name="G",
     )

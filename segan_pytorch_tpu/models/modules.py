@@ -261,6 +261,8 @@ class ConvTranspose1d(nn.Module):
     # ref model.py:28-43 — see ops/initializers.py)
     w_init: Callable = init.torch_default_convT_weight
     b_init: Optional[Callable] = None
+    # lowering default for this layer (cfg.deconv_impl); SEGAN_TPU_DECONV wins
+    deconv_impl: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -275,7 +277,8 @@ class ConvTranspose1d(nn.Module):
             b_init = self.b_init or init.torch_default_bias(self.out_ch * self.kwidth)
             b = self.param("bias", b_init, (self.out_ch,))
         return conv_ops.conv_transpose1d_auto(
-            x, w.astype(x.dtype), b, stride=self.stride, padding=self.padding
+            x, w.astype(x.dtype), b, stride=self.stride, padding=self.padding,
+            impl=self.deconv_impl,
         )
 
 
@@ -407,6 +410,7 @@ class GDeconv1DBlock(nn.Module):
     norm_type: Optional[str] = None
     act: Optional[str] = None
     w_init: Callable = init.torch_default_convT_weight
+    deconv_impl: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -420,6 +424,7 @@ class GDeconv1DBlock(nn.Module):
             use_bias=True,  # ref bug: bias arg never reaches ConvTranspose1d
             snorm=(self.norm_type == "snorm"),
             w_init=self.w_init,
+            deconv_impl=self.deconv_impl,
             name="deconv",
         )(x, train=train)
         if self.kwidth % 2 != 0:

@@ -577,6 +577,13 @@ class AEWSEGAN(WSEGAN):
     name = "AEWSEGAN"
 
     def __init__(self, cfg: SEGANConfig, generator=None, discriminator=None):
+        # G-only step: the Cout=1 output deconv is a larger fraction, and the
+        # blocked lowering for that one layer measured +2.1% at canonical batch
+        # 150 (BENCH.md r4 matrix: 4962-4988 vs 4846-4896 slices/s/chip) —
+        # engine default 'edge-blocked', overridable via cfg.deconv_impl /
+        # SEGAN_TPU_DECONV. Set before super().__init__ builds the Generator.
+        if getattr(cfg, "deconv_impl", None) is None:
+            cfg.deconv_impl = "edge-blocked"
         super().__init__(cfg, generator, discriminator)
         self.D = None
         if cfg.legacy_l1_loss is not None:

@@ -315,6 +315,7 @@ def conv_transpose1d_auto(
     stride: int = 4,
     padding: int = 0,
     precision=DEFAULT_PRECISION,
+    impl: Optional[str] = None,
 ) -> jax.Array:
     """Dispatch between the two mathematically-identical transposed-conv lowerings.
 
@@ -323,10 +324,14 @@ def conv_transpose1d_auto(
     (2410 vs 1627 slices/s/chip, BENCH.md r2) than 'phased'
     (SEGAN_TPU_DECONV=phased): polyphase decomposition into `stride` dense VALID
     convs + interleave, whose stack/reshape relayouts dominate on TPU.
+
+    `impl` is the caller-chosen default (cfg.deconv_impl, e.g. AEWSEGAN's
+    'edge-blocked' — BENCH.md r4 matrix); the SEGAN_TPU_DECONV env var wins
+    when set so experiments can still override any engine.
     """
     import os
 
-    impl = os.environ.get("SEGAN_TPU_DECONV", "dilated")
+    impl = os.environ.get("SEGAN_TPU_DECONV") or impl or "dilated"
     mode = os.environ.get("SEGAN_TPU_CONV_GRAD", "xla")
     if (stride > 1 and impl == "dilated"
             and (mode == "custom"

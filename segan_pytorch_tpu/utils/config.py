@@ -123,6 +123,14 @@ class SEGANConfig:
     bn_stats: str = "global"
     # legacy boolean from old config files (ckpt_segan+/train.opts:41); recorded only
     legacy_l1_loss: Optional[bool] = None
+    # transposed-conv lowering for the generator decoder (ops/conv.py
+    # conv_transpose1d_auto): None = engine default ('dilated' for SEGAN/WSEGAN;
+    # 'edge-blocked' for AEWSEGAN, measured +2.1% at canonical batch 150 —
+    # BENCH.md r4 matrix: 4962-4988 vs 4846-4896 slices/s; the G-only step makes
+    # the Cout=1 output deconv a larger fraction). All lowerings are
+    # mathematically identical (step-equality tested); SEGAN_TPU_DECONV
+    # env var overrides for experiments
+    deconv_impl: Optional[str] = None
     # use fused Pallas kernels where available
     use_pallas: bool = False
     # resume training from the latest EOE checkpoints in save_path

@@ -189,6 +189,33 @@ class TestAEWSEGAN:
         assert all(np.isfinite(l) for l in losses)
         assert losses[-1] < losses[0]  # pure regression must descend
 
+    def test_default_deconv_impl_edge_blocked_and_step_equal(self, monkeypatch):
+        """AEWSEGAN defaults cfg.deconv_impl to 'edge-blocked' (BENCH.md r4
+        matrix: +2.1% at canonical batch 150) and the lowering is step-equal to
+        the dilated path; env/config overrides are respected."""
+        monkeypatch.delenv("SEGAN_TPU_DECONV", raising=False)
+
+        def step(cfg):
+            ae = AEWSEGAN(cfg)
+            ae.init_state(jax.random.PRNGKey(2), batch_size=4)
+            ae.prepare_train(4)
+            clean, noisy, mask = synth_batch()
+            m, _, _ = ae.train_step(clean, noisy, mask,
+                                    jax.random.PRNGKey(7), 100.0)
+            return {k: float(v) for k, v in m.items()}
+
+        cfg = small_cfg(aewsegan=True)
+        m_default = step(cfg)
+        assert cfg.deconv_impl == "edge-blocked"  # engine default applied
+
+        cfg_dilated = small_cfg(aewsegan=True)
+        cfg_dilated.deconv_impl = "dilated"  # explicit config wins
+        m_dilated = step(cfg_dilated)
+        assert cfg_dilated.deconv_impl == "dilated"
+        for k in m_default:
+            assert abs(m_default[k] - m_dilated[k]) <= \
+                1e-4 * (abs(m_default[k]) + 1e-3), (k, m_default, m_dilated)
+
 
 class TestDataParallel:
     def test_dp_step_matches_single_device(self):
