@@ -220,9 +220,15 @@ def CompositeEval(ref_wav, deg_wav, log_all: bool = False, pesq_value: Optional[
     wss_dist_vec = sorted(wss(ref_wav, deg_wav, 16000))
     wss_dist = np.mean(wss_dist_vec[: int(round(len(wss_dist_vec) * alpha))])
 
-    LLR_dist = sorted(llr(ref_wav, deg_wav, 16000))
+    LLR_dist = llr(ref_wav, deg_wav, 16000)
+    # Digitally-silent frames (R[0] == 0) make Levinson–Durbin divide 0/0 —
+    # the reference has the same hole (ref utils.py:659-715, no guard) and one
+    # such frame would poison the trimmed mean into NaN (seen on corpora whose
+    # pauses are exact zeros). Drop non-finite frame distortions instead; a
+    # no-op on any input the reference itself can score.
+    LLR_dist = sorted(LLR_dist[np.isfinite(LLR_dist)])
     LLR_len = round(len(LLR_dist) * alpha)
-    llr_mean = np.mean(LLR_dist[:LLR_len])
+    llr_mean = np.mean(LLR_dist[:LLR_len]) if LLR_len else np.nan
 
     snr_mean, segsnr_mean = SSNR(ref_wav, deg_wav, 16000)
     segSNR = np.mean(segsnr_mean)

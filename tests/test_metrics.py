@@ -90,6 +90,22 @@ class TestMetricParity:
         m = comp.CompositeEval(ref, deg, True)
         np.testing.assert_allclose(m, r, rtol=1e-4)
 
+    def test_composite_finite_with_silent_pauses(self, monkeypatch):
+        """Digitally-silent frames (exact zeros, e.g. the v2 demo corpus's
+        pauses) make Levinson–Durbin divide 0/0 inside llr; CompositeEval must
+        drop those frames instead of returning NaN Csig/Covl (found live on the
+        r4 v2 quality campaign)."""
+        from segan_pytorch_tpu.metrics import composite as comp
+
+        ref = speechlike(seed=11)
+        deg = ref + 0.06 * np.random.RandomState(12).randn(ref.shape[0]).astype("f")
+        # a full silent region spanning many 30 ms frames in BOTH signals
+        ref[2000:12000] = 0.0
+        deg[2000:12000] = 0.0
+        monkeypatch.setattr(comp, "PESQ", lambda a, b: 2.5)
+        vals = comp.CompositeEval(ref, deg, True)
+        assert all(np.isfinite(v) for v in vals), vals
+
 
 class TestSTOI:
     def test_stoi_sane_ordering(self):
