@@ -362,15 +362,22 @@ class WindowBatcher:
                 [x, np.zeros((n_padded - n_rows, S, 1), np.float32)], axis=0)
         zb = None
         if not segan.G.no_z:
-            z = np.concatenate([np.asarray(j.z) for j in jobs], axis=0)
+            # Assemble z ON DEVICE: sessions hand a device-resident z (put once
+            # at session start), so the batch z is a device concat — NOT a
+            # per-pass host round trip. (np.asarray on a device z here cost a
+            # synchronous D2H+H2D every hop — measured ~75 ms on the remote
+            # dev tunnel, 2x the entire per-hop latency.)
+            zs = [jnp.asarray(j.z) for j in jobs]
+            zb = zs[0] if len(zs) == 1 else jnp.concatenate(zs, axis=0)
             if n_padded > n_rows:
-                z = np.concatenate(
-                    [z, np.zeros((n_padded - n_rows,) + z.shape[1:], z.dtype)],
-                    axis=0)
-            zb = jnp.asarray(z)
+                zb = jnp.concatenate(
+                    [zb, jnp.zeros((n_padded - n_rows,) + zb.shape[1:],
+                                   zb.dtype)], axis=0)
         out, _ = segan._gfwd_jit()(segan.state.g_params, segan.state.g_vars,
                                    jnp.asarray(x), zb)
-        out = np.asarray(out)
+        # fetch only the real rows — the pow2 padding rows would double the
+        # D2H bytes at bucket boundaries
+        out = np.asarray(out[: len(jobs)])
         self.batches += 1
         self.windows += len(jobs)
         for i, j in enumerate(jobs):
@@ -412,7 +419,9 @@ class StreamingEnhancer:
         self.S = S
         self.hop = int(S * (1.0 - overlap)) or S
         # one z per streaming session, shared by every window (generate()
-        # shares z across one utterance's chunks; a stream is one utterance)
+        # shares z across one utterance's chunks; a stream is one utterance).
+        # Device-resident, put ONCE here: both the solo path and the
+        # WindowBatcher (device-side concat) reuse it with no per-hop transfer.
         self._z = None
         if not segan.G.no_z:
             if rng is None:
@@ -461,7 +470,8 @@ class StreamingEnhancer:
     def _enhance_window(self, wseg: np.ndarray) -> np.ndarray:
         if self.batcher is not None:
             # shared pass with other concurrent sessions (same window length);
-            # this session's z rides as its own row
+            # this session's z rides as its own row (device copy: the batcher
+            # concatenates z on device, so no per-hop host round trip)
             return self.batcher.enhance_window(wseg, self._z)
         segan = self.segan
         x = jnp.asarray(wseg.reshape(1, self.S, 1))

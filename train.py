@@ -100,6 +100,12 @@ def build_parser():
     parser.add_argument('--compute_dtype', type=str, default='float32',
                         help='float32 | bfloat16 network compute dtype.')
     parser.add_argument('--use_pallas', action='store_true', default=False)
+    parser.add_argument('--deconv_impl', type=str, default=None,
+                        choices=['dilated', 'blocked', 'edge-blocked', 'phased'],
+                        help='Decoder transposed-conv lowering; default None = '
+                             'engine choice (dilated, except AEWSEGAN which '
+                             'defaults to edge-blocked — BENCH.md r4 matrix). '
+                             'All lowerings are mathematically identical.')
     parser.add_argument('--profile', action='store_true', default=False,
                         help='Capture a device trace into save_path/profile and '
                              'log per-step MFU + device memory stats.')
