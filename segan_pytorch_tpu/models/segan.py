@@ -469,25 +469,30 @@ class SEGAN:
                     if self._gen_rng is None:
                         self._gen_rng = jax.random.PRNGKey(self.cfg.seed)
                     self._gen_rng, rng = jax.random.split(self._gen_rng)
-                zrow = self.G.sample_z(rng, (1, N, 1))
-                self.z = np.asarray(zrow)
+                # kept DEVICE-resident: np.asarray here cost a synchronous
+                # D2H round trip per utterance (then re-uploaded by the tile)
+                self.z = self.G.sample_z(rng, (1, N, 1))
             else:
-                self.z = np.asarray(z).reshape(1, *np.asarray(z).shape[-2:])
+                z_arr = jnp.asarray(z)
+                self.z = z_arr.reshape((1,) + tuple(z_arr.shape[-2:]))
             zb = jnp.tile(jnp.asarray(self.z), (n_padded, 1, 1))
         else:
             zb = None
         out, hall = self._gfwd_jit()(self.state.g_params, self.state.g_vars,
                                      jnp.asarray(x), zb)
+        # slice BEFORE fetching: the chunk-bucket padding rows would otherwise
+        # ride the D2H for nothing (up to 2x at bucket boundaries)
         if overlap > 0:
             from ..parallel.inference import overlap_add
 
-            c_res = overlap_add(np.asarray(out)[:n_chunks], hop, T)
+            c_res = overlap_add(np.asarray(out[:n_chunks]), hop, T)
         else:
-            c_res = np.asarray(out).reshape(-1)[:T]
+            c_res = np.asarray(out[:n_chunks]).reshape(-1)[:T]
         c_res = de_emphasize_np(c_res, self.preemph)
         enc_keys = [k for k in hall.keys() if k.startswith("enc_") and "zc" not in k]
-        g_c = np.asarray(hall[f"enc_{max(int(k.split('_')[1]) for k in enc_keys)}"])
-        return c_res, g_c[:n_chunks]
+        g_c = np.asarray(
+            hall[f"enc_{max(int(k.split('_')[1]) for k in enc_keys)}"][:n_chunks])
+        return c_res, g_c
 
     def generate_batch(self, inwavs, chunk_buckets: bool = True,
                        rng=None, overlap: float = 0.0):
@@ -539,8 +544,10 @@ class SEGAN:
                     self._gen_rng, k = jax.random.split(self._gen_rng)
                 else:
                     rng, k = jax.random.split(rng)
-                zrow = np.asarray(self.G.sample_z(k, (1, N, 1)))
-                z_rows.append(np.tile(zrow, (n_chunks, 1, 1)))
+                # device-side: np.asarray(sample_z) + host tile cost one
+                # synchronous D2H+H2D round trip PER UTTERANCE
+                zrow = self.G.sample_z(k, (1, N, 1))
+                z_rows.append(jnp.tile(zrow, (n_chunks, 1, 1)))
         total = sum(spans)
         n_padded = total
         if chunk_buckets and total > 1:
@@ -550,19 +557,20 @@ class SEGAN:
             x_all = np.concatenate(
                 [x_all, np.zeros((n_padded - total, N, 1), np.float32)], axis=0)
         if not self.G.no_z:
-            z_all = np.concatenate(z_rows, axis=0)
+            zb = (z_rows[0] if len(z_rows) == 1
+                  else jnp.concatenate(z_rows, axis=0))
             if n_padded > total:
-                z_all = np.concatenate(
-                    [z_all, np.tile(z_all[-1:], (n_padded - total, 1, 1))], axis=0)
-            zb = jnp.asarray(z_all)
+                zb = jnp.concatenate(
+                    [zb, jnp.tile(zb[-1:], (n_padded - total, 1, 1))], axis=0)
         else:
             zb = None
         out, hall = self._gfwd_jit()(self.state.g_params, self.state.g_vars,
                                      jnp.asarray(x_all), zb)
-        out = np.asarray(out)
+        # fetch only the real rows (padding would ride the D2H for nothing)
+        out = np.asarray(out[:total])
         enc_keys = [k for k in hall.keys() if k.startswith("enc_") and "zc" not in k]
         g_c_all = np.asarray(
-            hall[f"enc_{max(int(k.split('_')[1]) for k in enc_keys)}"])
+            hall[f"enc_{max(int(k.split('_')[1]) for k in enc_keys)}"][:total])
         results, pos = [], 0
         for (T, hop), n_chunks in zip(metas, spans):
             chunk_out = out[pos: pos + n_chunks]

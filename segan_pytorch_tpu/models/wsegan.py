@@ -525,7 +525,7 @@ class WSEGAN(SEGAN):
             out, hall = self.G.apply(
                 {"params": self.state.g_params, **self.state.g_vars},
                 jnp.asarray(x), z=zb, ret_hid=True, train=False)
-            out = np.asarray(out)
+            out = np.asarray(out[:n])  # don't fetch the pad rows
             for r_, i in enumerate(idxs):
                 c = de_emphasize_np(out[r_, : wavs[i].shape[0], 0],
                                     self.preemph)

@@ -93,7 +93,7 @@ def enhance_sharded(segan, wav: np.ndarray, mesh=None, overlap: float = 0.0,
         if zb is not None:
             zb = jax.device_put(zb, sh)
     out, _ = segan._gfwd_jit()(segan.state.g_params, segan.state.g_vars, x, zb)
-    out = np.asarray(out)[:n_chunks]
+    out = np.asarray(out[:n_chunks])  # don't fetch the padding rows
     if overlap > 0:
         merged = overlap_add(out, hop, T)
     else:

@@ -194,9 +194,12 @@ class MicroBatcher:
                         segan._gen_rng = jax.random.PRNGKey(segan.cfg.seed)
                     segan._gen_rng, rng = jax.random.split(segan._gen_rng)
                 # one z row per request, tiled over that request's chunks
-                # (generate() semantics: chunks of one utterance share z)
-                zrow = np.asarray(segan.G.sample_z(rng, (1, S, 1)))
-                zrows.append(np.tile(zrow, (n_chunks, 1, 1)))
+                # (generate() semantics: chunks of one utterance share z).
+                # Sampled AND tiled on device — np.asarray here cost a
+                # synchronous D2H+H2D round trip per batch (the WindowBatcher
+                # had the same defect, measured ~75 ms/pass on the dev tunnel)
+                zrow = segan.G.sample_z(rng, (1, S, 1))
+                zrows.append(jnp.tile(zrow, (n_chunks, 1, 1)))
         x = np.concatenate(grids, axis=0)
         n_rows = x.shape[0]
         # pad the COMBINED row count to a pow2 bucket: bounds compiled shapes
@@ -206,16 +209,17 @@ class MicroBatcher:
                 [x, np.zeros((n_padded - n_rows, S, 1), np.float32)], axis=0)
         zb = None
         if not segan.G.no_z:
-            z = np.concatenate(zrows, axis=0)
+            zb = zrows[0] if len(zrows) == 1 else jnp.concatenate(zrows, axis=0)
             if n_padded > n_rows:
-                z = np.concatenate(
-                    [z, np.zeros((n_padded - n_rows,) + z.shape[1:],
-                                 z.dtype)], axis=0)
-            zb = jnp.asarray(z)
+                zb = jnp.concatenate(
+                    [zb, jnp.zeros((n_padded - n_rows,) + zb.shape[1:],
+                                   zb.dtype)], axis=0)
         t0 = time.perf_counter()
         out, _ = segan._gfwd_jit()(segan.state.g_params, segan.state.g_vars,
                                    jnp.asarray(x), zb)
-        out = np.asarray(out)
+        # fetch only the real rows (padding rows would double D2H at bucket
+        # boundaries)
+        out = np.asarray(out[:n_rows])
         dt = time.perf_counter() - t0
         # latency estimate for the adaptive budget: only batches whose padded
         # shape has run before (cold batches include the XLA compile)
