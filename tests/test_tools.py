@@ -210,3 +210,39 @@ class TestProfiling:
         flops = compiled_flops(f, a, a)
         if flops is not None:  # cost analysis availability is backend-dependent
             assert flops >= 2 * 128 ** 3 * 0.5  # within 2x of the exact count
+
+
+class TestTrainThroughputBench:
+    """Log-parse + steady-window math of tools/train_throughput_bench.py
+    (the product-path throughput harness, BENCH.md r4)."""
+
+    def _mod(self):
+        import importlib
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "tools"))
+        return importlib.import_module("train_throughput_bench")
+
+    def test_log_re_matches_train_log_line(self):
+        m = self._mod().LOG_RE.search(
+            "(Iter 196) Batch 14/14 (Epoch 14) d_real:0.3458, d_fake:0.1781,"
+            " g_adv:0.2010, g_l1:0.6792 l1_w: 100.00, btime: 0.0024 s,"
+            " mbtime: 3.3281 s")
+        assert m is not None
+        assert tuple(map(int, m.groups())) == (196, 14, 14, 14)
+
+    def test_steady_state_skips_compile_epochs(self):
+        tb = self._mod()
+        # epoch 1 is compile-slow (100 s); epochs 2.. run 14 steps / 10 s
+        marks = [(100.0, 14, 1), (110.0, 28, 2), (120.0, 42, 3),
+                 (130.0, 56, 4)]
+        sps, steps, wall = tb.steady_state(marks, skip_epochs=1,
+                                           batch_size=300)
+        assert steps == 28 and wall == 20.0
+        assert sps == pytest.approx(28 * 300 / 20.0)
+
+    def test_steady_state_degenerate_window_raises(self):
+        tb = self._mod()
+        with pytest.raises(ValueError):
+            tb.steady_state([(10.0, 14, 1), (20.0, 28, 2)], skip_epochs=2,
+                            batch_size=300)

@@ -35,6 +35,22 @@ import time
 LOG_RE = re.compile(r"\(Iter (\d+)\) Batch (\d+)/(\d+) \(Epoch (\d+)\)")
 
 
+def steady_state(marks, skip_epochs: int, batch_size: int):
+    """slices/s over the (wall, iteration, epoch) marks with epoch <=
+    skip_epochs excluded (they carry the step/scan compiles). Returns
+    (slices_per_sec, steps, wall_s); raises if the window is degenerate."""
+    window = [m for m in marks if m[2] > skip_epochs]
+    if len(window) < 2:
+        raise ValueError(f"not enough log marks ({len(marks)}, "
+                         f"{len(window)} past epoch {skip_epochs}) for a "
+                         "steady-state window; lower --skip_epochs")
+    (t_a, it_a, _), (t_b, it_b, _) = window[0], window[-1]
+    steps = it_b - it_a
+    if steps <= 0 or t_b <= t_a:
+        raise ValueError("degenerate steady-state window")
+    return steps * batch_size / (t_b - t_a), steps, t_b - t_a
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", required=True,
@@ -99,16 +115,11 @@ def main():
     total_wall = time.time() - t0
     if rc != 0:
         raise SystemExit(f"train.py exited {rc}")
-    if len(marks) < args.skip_epochs + 2:
-        raise SystemExit(f"not enough log marks ({len(marks)}) for a "
-                         f"steady-state window; lower --skip_epochs")
-
-    # steady-state window: first mark at epoch > skip_epochs .. last mark
-    window = [m for m in marks if m[2] > args.skip_epochs]
-    (t_a, it_a, _), (t_b, it_b, _) = window[0], window[-1]
-    steps = it_b - it_a
-    slices = steps * args.batch_size
-    slices_per_sec = slices / (t_b - t_a)
+    try:
+        slices_per_sec, steps, wall_s = steady_state(
+            marks, args.skip_epochs, args.batch_size)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
     # attribution inputs
     bytes_per_slice = 16384 * 2 * (2 if args.loader_dtype == "bfloat16" else 4)
@@ -125,7 +136,7 @@ def main():
         "loader_dtype": args.loader_dtype or "float32",
         "io_threads": args.io_threads,
         "steady_state_steps": steps,
-        "steady_state_wall_s": round(t_b - t_a, 2),
+        "steady_state_wall_s": round(wall_s, 2),
         "total_wall_s": round(total_wall, 2),
         "num_batches_per_epoch": num_batches,
         "h2d_bytes_per_slice": bytes_per_slice,
