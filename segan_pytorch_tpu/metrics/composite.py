@@ -33,7 +33,11 @@ def SSNR(ref_wav: np.ndarray, deg_wav: np.ndarray, srate: int = 16000, eps: floa
     ref_wav = np.asarray(ref_wav, np.float64)
     deg_wav = np.asarray(deg_wav, np.float64)
     dif = ref_wav - deg_wav
-    overall_snr = 10 * np.log10(np.sum(ref_wav**2) / (np.sum(dif**2) + 10e-20))
+    # guard the digitally-silent reference BEFORE the log (log10(0) warns);
+    # -inf is exactly what the reference's unguarded expression evaluates to
+    ref_pow = np.sum(ref_wav**2)
+    overall_snr = (10 * np.log10(ref_pow / (np.sum(dif**2) + 10e-20))
+                   if ref_pow > 0 else -np.inf)
 
     winlength = int(np.round(30 * srate / 1000))
     skiprate = winlength // 4
@@ -195,14 +199,32 @@ def llr(ref_wav: np.ndarray, deg_wav: np.ndarray, srate: int) -> np.ndarray:
     pf = _frames(proc, winlength, skiprate, num_frames) * window
     distortion = []
     for k in range(num_frames):
+        # Digitally-silent frames (exact zeros) would divide 0/0 inside
+        # Levinson–Durbin (R[0] == 0 -> E[0] == 0) and again in num/den below.
+        # Guard BEFORE the divide — mark the frame non-finite (CompositeEval's
+        # trimmed mean drops non-finite frames) so metric evaluation is
+        # warning-free. The reference has the same hole with no guard
+        # (ref utils.py:659-715); these frames crash/poison it, so skipping
+        # them is a no-op on any input the reference itself can score.
+        if not np.any(cf[k]) or not np.any(pf[k]):
+            distortion.append(np.float64("nan"))
+            continue
         R_clean, _, A_clean = lpcoeff(cf[k], P)
         _, _, A_proc = lpcoeff(pf[k], P)
         A_clean = A_clean[None, :].astype(np.float64)
         A_proc = A_proc[None, :].astype(np.float64)
         toe = toeplitz(R_clean.astype(np.float64))
-        num = A_proc @ toe @ A_proc.T
-        den = A_clean @ toe @ A_clean.T
-        distortion.append(np.squeeze(np.log(num / den)))
+        num = np.squeeze(A_proc @ toe @ A_proc.T)
+        den = np.squeeze(A_clean @ toe @ A_clean.T)
+        # guard ONLY the exact cases that warn (den==0 divide; ratio<=0 log) —
+        # the reference's unguarded np.log(num/den) yields non-finite values
+        # there anyway, and CompositeEval drops non-finite frames; every frame
+        # the reference scores finitely takes the identical np.log path
+        if den == 0:
+            distortion.append(np.float64("nan"))
+            continue
+        ratio = num / den
+        distortion.append(np.log(ratio) if ratio > 0 else np.float64("nan"))
     return np.array(distortion)
 
 

@@ -13,7 +13,6 @@ pos_code (core.py:306-325).
 from __future__ import annotations
 
 import math
-import os
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
@@ -22,6 +21,7 @@ import flax.linen as nn
 
 from ..ops import conv as conv_ops
 from ..ops import initializers as init
+from ..ops import knobs
 
 
 # ---------------------------------------------------------------------------
@@ -131,9 +131,9 @@ class BatchNorm1d(nn.Module):
         xf = x.astype(jnp.float32)  # stats in fp32 even under bf16 compute
         # one-pass (E[x^2]-E[x]^2) batch stats measured +3.3% step throughput vs the
         # two-pass form on v5e (BENCH.md r2); stats are fp32 so the cancellation risk
-        # of the one-pass form is negligible at activation scale. SEGAN_TPU_BN=twopass
-        # reverts for A/B.
-        onepass = os.environ.get("SEGAN_TPU_BN", "onepass") == "onepass"
+        # of the one-pass form is negligible at activation scale. bn_impl='twopass'
+        # (cfg field / SEGAN_TPU_BN) reverts for A/B.
+        onepass = knobs.resolve("bn_impl") == "onepass"
         if train and G > 1:
             assert x.shape[0] % G == 0, (x.shape, G)
             xg = xf.reshape((G, x.shape[0] // G) + x.shape[1:])

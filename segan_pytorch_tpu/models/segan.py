@@ -37,6 +37,7 @@ from flax.core import unfreeze
 
 from .generator import Generator, build_generator
 from .discriminator import Discriminator, build_discriminator
+from ..ops import knobs
 from ..ops.signal import de_emphasize_np
 from ..parallel import local_host_rows
 from ..utils.checkpoint import (
@@ -142,16 +143,15 @@ def make_segan_train_step(gen: Generator, disc: Discriminator, g_tx, d_tx,
         # (2510 vs 2651 slices/s, BENCH.md r2: the 2B activations blow past VMEM
         # tiling sweet spots), so the default stays sequential. With snorm it would
         # also diverge (the reference runs one power iteration per forward).
-        # SEGAN_TPU_FUSE_D=1 opts in for A/B measurement.
-        env = os.environ.get("SEGAN_TPU_FUSE_D")
-        fuse_d_pair = (env is not None and env not in ("0", "false", "off")
-                       and disc.norm_type != "snorm")
-    # SEGAN_TPU_SNORM=cached (snorm-D configs only): one spectral-norm power
-    # iteration per step (first D pass) instead of per apply — the later passes
-    # reuse the updated u/v, so XLA CSEs a single weight normalization across them.
-    # Parity default is per-apply (torch iterates on every forward); divergence is
-    # power-iteration count only. See models/wsegan.py for the measured campaign.
-    cached_snorm = (os.environ.get("SEGAN_TPU_SNORM") == "cached"
+        # fuse_d=true (cfg field / SEGAN_TPU_FUSE_D) opts in for A/B measurement.
+        fuse_d_pair = knobs.resolve_bool("fuse_d") and disc.norm_type != "snorm"
+    # snorm_impl='cached' (cfg field / SEGAN_TPU_SNORM; snorm-D configs only): one
+    # spectral-norm power iteration per step (first D pass) instead of per apply —
+    # the later passes reuse the updated u/v, so XLA CSEs a single weight
+    # normalization across them. Parity default is per-apply (torch iterates on
+    # every forward); divergence is power-iteration count only. See
+    # models/wsegan.py for the measured campaign.
+    cached_snorm = (knobs.resolve("snorm_impl") == "cached"
                     and disc.norm_type == "snorm")
 
     def step(state: GANTrainState, clean, noisy, mask, rng, l1_weight):
@@ -285,6 +285,10 @@ class SEGAN:
 
     def __init__(self, cfg: SEGANConfig, generator: Optional[Generator] = None,
                  discriminator: Optional[Discriminator] = None):
+        # adopt this config's lowering knobs (bn_impl, conv_grad, ...) as the
+        # process defaults so every op traced for this engine reads them;
+        # SEGAN_TPU_* env vars still win inside knobs.resolve for experiments
+        knobs.register_config(cfg)
         self.cfg = cfg
         self.save_path = cfg.save_path
         self.preemph = cfg.preemph
@@ -297,6 +301,11 @@ class SEGAN:
         self._jit_multi_step = None
         self._jit_gfwd = None
         self._gen_rng = None  # per-utterance z stream for generate()
+        # deterministic per-model streams for infer_G / discriminate fallbacks:
+        # two identical eval/server runs are bit-identical without callers
+        # passing keys (the old fallback seeded from global np.random)
+        self._infer_rng = None
+        self._disc_rng = None
         self._step_flops = None
         self._flops_args = None
         self.writer = None
@@ -409,9 +418,15 @@ class SEGAN:
 
     def infer_G(self, noisy, z=None, ret_hid: bool = False, rng=None):
         if z is None and not self.G.no_z:
-            # fresh z per call, like the reference's in-forward randn (generator.py:197)
+            # fresh z per call, like the reference's in-forward randn
+            # (generator.py:197) — but drawn from a deterministic per-model
+            # stream (seeded from cfg.seed) so runs are reproducible without
+            # callers passing keys, matching generate()'s treatment
             if rng is None:
-                rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+                if self._infer_rng is None:
+                    self._infer_rng = jax.random.fold_in(
+                        jax.random.PRNGKey(self.cfg.seed), 1)
+                self._infer_rng, rng = jax.random.split(self._infer_rng)
             z = self.G.sample_z(rng, noisy.shape)
         out, hall = self._gfwd_jit()(self.state.g_params, self.state.g_vars, noisy, z)
         if ret_hid:
@@ -587,9 +602,14 @@ class SEGAN:
 
     def discriminate(self, cwav, nwav, rng=None):
         d_in = jnp.concatenate([cwav, nwav], axis=-1)
-        # the reference rolls the phase shift in eval too (discriminator.py:160-172)
+        # the reference rolls the phase shift in eval too (discriminator.py:160-172);
+        # the fallback key comes from a deterministic per-model stream (cfg.seed)
+        # so repeated runs are bit-identical without callers passing keys
         if rng is None:
-            rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+            if self._disc_rng is None:
+                self._disc_rng = jax.random.fold_in(
+                    jax.random.PRNGKey(self.cfg.seed), 2)
+            self._disc_rng, rng = jax.random.split(self._disc_rng)
         (y, _) = self.D.apply({"params": self.state.d_params, **self.state.d_vars},
                               d_in, train=False, rngs={"phase": rng})
         return y

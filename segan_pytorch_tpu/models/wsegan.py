@@ -15,6 +15,7 @@ WSEGAN differences from SEGAN (all fused into one jitted step here):
 """
 from __future__ import annotations
 
+import dataclasses
 import os
 import timeit
 from typing import Any, Optional
@@ -37,6 +38,7 @@ from .segan import (
     apply_wsegan_weights_init,
     Saver,
 )
+from ..ops import knobs
 from ..ops.signal import de_emphasize_np, make_div_n
 from ..ops.stft import power_spectrum_db
 from ..parallel import local_host_rows
@@ -66,27 +68,30 @@ def make_wsegan_train_step(gen, disc, g_tx, d_tx, cfg: SEGANConfig):
     n_fft = cfg.n_fft
     cdt = compute_dtype_of(cfg)
     # --- perf knobs (measured campaign: BENCH.md r3 WSEGAN table) ---
-    # SEGAN_TPU_SNORM=cached: run the spectral-norm power iteration ONCE per step
-    # (first D pass) instead of once per D apply. The reference updates u/v on every
-    # forward (torch spectral_norm hook), so per_apply is the parity default; cached
-    # diverges only in power-iteration count (u/v converge to the same sigma) but
-    # removes the sequential u/v dependency chaining the D passes and lets XLA CSE
-    # one weight normalization across all of them. snorm-D only (train=False would
-    # change BatchNorm semantics).
-    cached_snorm = (os.environ.get("SEGAN_TPU_SNORM") == "cached"
+    # snorm_impl='cached' (cfg field / SEGAN_TPU_SNORM): run the spectral-norm
+    # power iteration ONCE per step (first D pass) instead of once per D apply.
+    # The reference updates u/v on every forward (torch spectral_norm hook), so
+    # per_apply is the parity default; cached diverges only in power-iteration
+    # count (u/v converge to the same sigma) but removes the sequential u/v
+    # dependency chaining the D passes and lets XLA CSE one weight normalization
+    # across all of them. snorm-D only (train=False would change BatchNorm
+    # semantics).
+    cached_snorm = (knobs.resolve("snorm_impl") == "cached"
                     and disc.norm_type == "snorm")
-    # SEGAN_TPU_WS_FUSE_D=1: judge all real/fake pairs in ONE grouped apply
-    # (per-group phase draws + per-group BN stats via stats_groups; with snorm this
-    # also implies one power iteration for the whole fused pass, i.e. cached-like
-    # counting). Loss weighting identical to the sequential path.
-    fuse_env = os.environ.get("SEGAN_TPU_WS_FUSE_D")
-    fuse_d = fuse_env is not None and fuse_env not in ("0", "false", "off")
+    # ws_fuse_d=true (cfg field / SEGAN_TPU_WS_FUSE_D): judge all real/fake pairs
+    # in ONE grouped apply (per-group phase draws + per-group BN stats via
+    # stats_groups; with snorm this also implies one power iteration for the
+    # whole fused pass, i.e. cached-like counting). Loss weighting identical to
+    # the sequential path.
+    fuse_d = knobs.resolve_bool("ws_fuse_d")
     # DFT precision for the power loss: under bf16 compute, Genh is already
     # bf16-quantized before the fp32 cast, so the 1-pass DEFAULT contraction
     # (fp32 accumulation) loses nothing real and is ~6x fewer MXU passes than
     # HIGHEST (measured +3% step throughput, BENCH.md r3). fp32 compute keeps
-    # HIGHEST for strict fft parity. SEGAN_TPU_STFT_PRECISION overrides both.
-    stft_prec = "default" if cdt == jnp.bfloat16 else "highest"
+    # HIGHEST for strict fft parity. stft_precision (cfg field /
+    # SEGAN_TPU_STFT_PRECISION) overrides both.
+    stft_prec = (knobs.resolve("stft_precision")
+                 or ("default" if cdt == jnp.bfloat16 else "highest"))
 
     def step(state: GANTrainState, clean, noisy, mask, additive_mask, rng, l1_weight):
         kz, kd1, kd2, kd3, kd4, kd5, kshuf, kinterf, kdrop = jax.random.split(rng, 9)
@@ -581,9 +586,14 @@ class AEWSEGAN(WSEGAN):
         # blocked lowering for that one layer measured +2.1% at canonical batch
         # 150 (BENCH.md r4 matrix: 4962-4988 vs 4846-4896 slices/s/chip) —
         # engine default 'edge-blocked', overridable via cfg.deconv_impl /
-        # SEGAN_TPU_DECONV. Set before super().__init__ builds the Generator.
+        # SEGAN_TPU_DECONV. Resolved into a COPY (never mutate the caller's cfg:
+        # a reused cfg object must not leak this default into other engines);
+        # self.cfg carries the resolved value, which train.py re-dumps into
+        # train.opts after construction.
         if getattr(cfg, "deconv_impl", None) is None:
-            cfg.deconv_impl = "edge-blocked"
+            resolved = dataclasses.replace(cfg, deconv_impl="edge-blocked")
+            resolved._unknown = getattr(cfg, "_unknown", {})
+            cfg = resolved
         super().__init__(cfg, generator, discriminator)
         self.D = None
         if cfg.legacy_l1_loss is not None:

@@ -94,18 +94,18 @@ def conv1d(
     f32-output conv gets an f32 cotangent whose transpose-conv against the bf16 operands
     fails type checking in jax's conv transpose rule.
     """
-    import os
+    from . import knobs
 
-    mode = os.environ.get("SEGAN_TPU_CONV_GRAD", "xla")
+    mode = knobs.resolve("conv_grad")
     use_custom = stride > 1 and dilation == 1 and (
         mode == "custom"
         or (mode == "auto" and _custom_grad_wins(x.shape[2], kernel.shape[2], stride)))
-    # SEGAN_TPU_EDGE_CONV=s2d: space-to-depth lowering for the tiny-Cin edge
-    # layers (G enc1 Cin=1, D conv1 Cin=2), whose Cin*K contraction starves
-    # the 128-lane MXU minor dim (measured 0.4% of roofline at batch 300,
-    # docs/PROFILE_B300.md). Pure XLA (reshape + stride-1 conv), so autodiff
-    # and producer/consumer fusion work natively — no custom-VJP barrier.
-    use_s2d = (os.environ.get("SEGAN_TPU_EDGE_CONV", "0") not in ("0", "")
+    # edge_conv='s2d' (cfg field / SEGAN_TPU_EDGE_CONV): space-to-depth lowering
+    # for the tiny-Cin edge layers (G enc1 Cin=1, D conv1 Cin=2), whose Cin*K
+    # contraction starves the 128-lane MXU minor dim (measured 0.4% of roofline
+    # at batch 300, docs/PROFILE_B300.md). Pure XLA (reshape + stride-1 conv), so
+    # autodiff and producer/consumer fusion work natively — no custom-VJP barrier.
+    use_s2d = (knobs.resolve("edge_conv") not in ("off", "0", False)
                and stride > 1 and dilation == 1
                and x.shape[2] * kernel.shape[0] <= 64)
     if use_s2d:
@@ -329,11 +329,16 @@ def conv_transpose1d_auto(
     'edge-blocked' — BENCH.md r4 matrix); the SEGAN_TPU_DECONV env var wins
     when set so experiments can still override any engine.
     """
-    import os
+    from . import knobs
 
-    impl = os.environ.get("SEGAN_TPU_DECONV") or impl or "dilated"
-    mode = os.environ.get("SEGAN_TPU_CONV_GRAD", "xla")
-    if (stride > 1 and impl == "dilated"
+    impl = knobs.resolve("deconv_impl", override=impl) or "dilated"
+    mode = knobs.resolve("conv_grad")
+    # the custom backward pairs with the DILATED forward lowering; under
+    # 'edge-blocked' only the tiny-Cout (<=2) output layer takes the blocked
+    # path, so layers falling through to dilated still get the custom grads
+    takes_dilated = impl == "dilated" or (
+        impl == "edge-blocked" and kernel.shape[2] > 2)
+    if (stride > 1 and takes_dilated
             and (mode == "custom"
                  or (mode == "auto"
                      and _custom_grad_wins(kernel.shape[1], kernel.shape[2],

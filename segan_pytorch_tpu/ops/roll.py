@@ -43,9 +43,9 @@ def _roll_halo(x: jax.Array, amount: jax.Array, max_abs: int) -> jax.Array:
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _roll_time(x: jax.Array, amount: jax.Array, max_abs: int) -> jax.Array:
-    import os
+    from . import knobs
 
-    if (os.environ.get("SEGAN_TPU_ROLL", "jnp") == "halo"
+    if (knobs.resolve("roll_impl") == "halo"
             and 0 < max_abs <= min(_MAX_HALO, x.shape[1])):
         return _roll_halo(x, amount, max_abs)
     return jnp.roll(x, amount, axis=1)

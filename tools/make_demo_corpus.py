@@ -51,6 +51,45 @@ def speechlike_utterance(rng: np.random.RandomState, n: int,
     return sig.astype(np.float32)
 
 
+def voiced_whisper_pair(rng: np.random.RandomState, n: int):
+    """Dewhispering-style pair (the WSEGAN task, ref run_wsegan_train.sh:4-9:
+    clean_trainset_M4 vs whisper_trainset_M4): the 'noisy' side is the SAME
+    articulation (identical syllabic envelope, time-aligned) with the harmonic
+    excitation replaced by speech-band noise — i.e. a synthetic whisper. The
+    enhancer must REGENERATE voicing, not subtract additive noise, which is
+    what WSEGAN's misalign/interf fake pairs and power loss target."""
+    t = np.arange(n) / SR
+    base_f0 = rng.uniform(90.0, 220.0)
+    wob = rng.uniform(1.5, 3.5)
+    f0 = base_f0 * (1.0 + 0.15 * np.sin(2 * np.pi * wob * t + rng.uniform(0, 6.28)))
+    phase = 2 * np.pi * np.cumsum(f0) / SR
+    n_harm = rng.randint(4, 9)
+    amps = 1.0 / np.arange(1, n_harm + 1) ** rng.uniform(0.8, 1.4)
+    voiced = sum(a * np.sin(k * phase + rng.uniform(0, 6.28))
+                 for k, a in enumerate(amps, start=1))
+    syl = rng.uniform(2.0, 4.5)
+    env = np.clip(np.sin(2 * np.pi * syl * t + rng.uniform(0, 6.28)), 0.0, None)
+    env = env ** rng.uniform(0.7, 1.5)
+    clean = (voiced + 0.02 * rng.randn(n)) * env  # v2-style breath noise
+    # whisper excitation: speech-band (250-4000 Hz) noise with a gentle 1/f
+    # tilt, modulated by the SAME envelope
+    exc = rng.randn(n + 2 * SR)
+    spec = np.fft.rfft(exc)
+    freqs = np.fft.rfftfreq(exc.shape[0], 1.0 / SR)
+    band = ((freqs >= 250.0) & (freqs <= 4000.0)).astype(np.float64)
+    band = np.convolve(band, np.hanning(65) / np.hanning(65).sum(), mode="same")
+    tilt = 1.0 / np.maximum(freqs / 500.0, 1.0)
+    shaped = np.fft.irfft(spec * band * tilt, n=exc.shape[0])[SR:SR + n]
+    whisper = shaped * env
+    pc = np.sqrt(np.mean(clean ** 2) + 1e-12)
+    pw = np.sqrt(np.mean(whisper ** 2) + 1e-12)
+    whisper = whisper * (pc / pw) * rng.uniform(0.5, 0.8)  # whispers sit lower
+    peak = max(np.abs(clean).max(), np.abs(whisper).max()) + 1e-9
+    scale = rng.uniform(0.3, 0.8) / peak  # one scale: keep the pair's relation
+    return ((clean * scale).astype(np.float32),
+            (whisper * scale).astype(np.float32))
+
+
 def bandlimited_noise(rng: np.random.RandomState, n: int) -> np.ndarray:
     white = rng.randn(n + 2 * SR)
     lo = rng.uniform(100.0, 800.0)
@@ -86,9 +125,12 @@ def write_split(out: str, split: str, n_utts: int, dur: float, seed: int,
     n = int(dur * SR)
     for i in range(n_utts):
         rng = np.random.RandomState(seed + i)
-        clean = speechlike_utterance(rng, n, style=style)
-        noisy = mix_at_snr(clean, bandlimited_noise(rng, n),
-                           rng.uniform(5.0, 10.0))
+        if style == "whisper":
+            clean, noisy = voiced_whisper_pair(rng, n)
+        else:
+            clean = speechlike_utterance(rng, n, style=style)
+            noisy = mix_at_snr(clean, bandlimited_noise(rng, n),
+                               rng.uniform(5.0, 10.0))
         name = f"utt_{split}_{i:04d}.wav"
         write_wav(os.path.join(cdir, name), clean, SR, subtype="pcm16")
         write_wav(os.path.join(ndir, name), noisy, SR, subtype="pcm16")
@@ -102,11 +144,13 @@ def main():
     p.add_argument("--n_test", type=int, default=16)
     p.add_argument("--dur", type=float, default=3.0)
     p.add_argument("--seed", type=int, default=1234)
-    p.add_argument("--style", choices=["v1", "v2"], default="v1",
+    p.add_argument("--style", choices=["v1", "v2", "whisper"], default="v1",
                    help="v1 = original (constant aspiration floor; kept so "
                         "earlier BENCH.md numbers reproduce); v2 = breath "
                         "noise modulated by the syllabic envelope (pauses "
-                        "are true silence — fixes the STOI-VAD artifact)")
+                        "are true silence — fixes the STOI-VAD artifact); "
+                        "whisper = dewhispering pairs (noisy side is the same "
+                        "articulation with noise excitation — the WSEGAN task)")
     args = p.parse_args()
     write_split(args.out, "trainset", args.n_train, args.dur, args.seed,
                 style=args.style)

@@ -80,7 +80,10 @@ def main():
     cache_dir = os.path.join(save_path, "cache")
     eoe_every = args.eoe_save_every or max(1, args.epoch // 2)
     cmd = [
-        sys.executable, os.path.join(root, "train.py"),
+        # -u: unbuffered child stdout — through a pipe, block buffering (~8KB)
+        # would flush several epochs' log lines in one burst and quantize the
+        # host-side timestamps that define the steady-state window (ADVICE r4)
+        sys.executable, "-u", os.path.join(root, "train.py"),
         "--clean_trainset", os.path.join(args.corpus, "clean_trainset"),
         "--noisy_trainset", os.path.join(args.corpus, "noisy_trainset"),
         "--save_path", save_path, "--cache_dir", cache_dir,
@@ -143,6 +146,13 @@ def main():
         "h2d_mb_per_sec_at_rate": round(
             slices_per_sec * bytes_per_slice / 1e6, 1),
         "device_only_slices_per_sec": device_only,
+        # steady_state counts steps*batch_size slices; each epoch's ragged
+        # final batch is mask-padded to batch_size, so real-data throughput is
+        # overstated by up to (batch_size-1)/slices-per-epoch per epoch
+        # (ADVICE r4). Size the corpus to divide evenly to zero this out.
+        "note_ragged_tail": "per-step slices counted as full batch_size; "
+                            "mask-padded tail batches inflate real-data "
+                            "throughput slightly unless corpus%batch==0",
     }
     if not args.save_path:
         shutil.rmtree(save_path, ignore_errors=True)

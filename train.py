@@ -185,6 +185,13 @@ def main(cfg):
         segan = AEWSEGAN(cfg)
     else:
         segan = SEGAN(cfg)
+    if segan.cfg is not cfg:
+        # the engine resolved engine-default knobs into a config copy (e.g.
+        # AEWSEGAN's deconv_impl='edge-blocked'); re-dump train.opts so the
+        # recorded file matches the effective lowering set
+        from segan_pytorch_tpu.utils.config import dump_train_opts
+        cfg = segan.cfg
+        dump_train_opts(cfg)
     segan.init_state(jax.random.PRNGKey(cfg.seed), batch_size=cfg.batch_size)
     print('Total model parameters: ', segan.get_n_params())
     if cfg.resume:
@@ -266,6 +273,13 @@ if __name__ == '__main__':
     d = vars(opts)
     cfg = SEGANConfig.from_dict(d)
     cfg.bias = not cfg.no_bias  # derived flag (ref train.py:248)
+    # record the RESOLVED lowering knobs (env > cfg > default) so the dumped
+    # train.opts reproduces the exact lowering set on reload (ops/knobs.py);
+    # deconv_impl stays None here when it is an ENGINE default — main() re-dumps
+    # the engine's resolved config after construction
+    from segan_pytorch_tpu.ops import knobs
+    for _k, _v in knobs.effective(cfg).items():
+        setattr(cfg, _k, _v)
     dump_train_opts(cfg)
     print('Parsed arguments: ', cfg.to_json())
     main(cfg)
