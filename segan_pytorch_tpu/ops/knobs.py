@@ -42,6 +42,8 @@ KNOBS: Dict[str, tuple] = {
     "ws_fuse_d": ("SEGAN_TPU_WS_FUSE_D", False),
     # power-loss DFT contraction: None (= compute-dtype rule) | 'highest' | 'default'
     "stft_precision": ("SEGAN_TPU_STFT_PRECISION", None),
+    # STFT lowering: 'auto' (matmul-DFT on TPU, fft elsewhere) | 'matmul' | 'fft'
+    "stft_method": ("SEGAN_TPU_STFT", "auto"),
     # phase-shift roll lowering: 'jnp' | 'halo' (ops/roll.py)
     "roll_impl": ("SEGAN_TPU_ROLL", "jnp"),
     # transposed-conv lowering: None (= engine default) | 'dilated' | 'phased'

@@ -51,7 +51,9 @@ def _dft_matrix_np(win_length: int, n_fft: int) -> np.ndarray:
 
 
 def _resolve_method(method: str | None) -> str:
-    method = method or os.environ.get("SEGAN_TPU_STFT", "auto")
+    from . import knobs
+
+    method = knobs.resolve("stft_method", override=method)
     if method == "auto":
         return "matmul" if jax.default_backend() == "tpu" else "fft"
     return method

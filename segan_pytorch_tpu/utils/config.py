@@ -143,6 +143,7 @@ class SEGANConfig:
     fuse_d: Optional[bool] = None         # SEGAN D real/fake grouped pair
     ws_fuse_d: Optional[bool] = None      # WSEGAN all-pairs grouped D apply
     stft_precision: Optional[str] = None  # 'highest' | 'default' | None (dtype rule)
+    stft_method: Optional[str] = None     # 'auto' | 'matmul' | 'fft'
     roll_impl: Optional[str] = None       # 'jnp' | 'halo'
     # use fused Pallas kernels where available
     use_pallas: bool = False

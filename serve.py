@@ -403,13 +403,27 @@ def make_handler(cfg, segan, state):
                 state["gen"] = (ncfg, nengine, nbatcher, nwb)  # tear-free
                 state["cfg_file"] = cfg_file
                 state["reloads"] += 1
+                # fold the retiring generation's pass counts into the *_prev
+                # accumulators AT SWAP TIME — /metrics reads prev + CURRENT
+                # batcher, so deferring this to retirement (150 s later) made
+                # every Prometheus counter REGRESS for that window after a
+                # reload (caught by tools/serving_soak.py monotonicity check)
+                with state["mlock"]:
+                    swap_b = old_batcher.batches
+                    swap_wb = old_wb.batches if old_wb is not None else 0
+                    swap_ww = old_wb.windows if old_wb is not None else 0
+                    state["batches_prev"] += swap_b
+                    state["win_batches_prev"] += swap_wb
+                    state["win_windows_prev"] += swap_ww
 
-            def _retire(b=old_batcher, w=old_wb):
+            def _retire(b=old_batcher, w=old_wb,
+                        b0=swap_b, wb0=swap_wb, ww0=swap_ww):
                 # requests that snapshotted the old generation before the swap
                 # may still be enhancing on it (enhance timeout 120 s); close
                 # afterwards so its worker thread, jit caches, and device
                 # buffers are actually released instead of leaking per reload.
-                # Its final pass count folds into batches_prev on retirement.
+                # Only the passes accrued AFTER the swap fold in here (the
+                # pre-swap counts were folded at swap time above).
                 time.sleep(150)
                 try:
                     b.close()
@@ -417,10 +431,10 @@ def make_handler(cfg, segan, state):
                         w.close()
                 finally:
                     with state["mlock"]:
-                        state["batches_prev"] += b.batches
+                        state["batches_prev"] += b.batches - b0
                         if w is not None:
-                            state["win_batches_prev"] += w.batches
-                            state["win_windows_prev"] += w.windows
+                            state["win_batches_prev"] += w.batches - wb0
+                            state["win_windows_prev"] += w.windows - ww0
 
             threading.Thread(target=_retire, daemon=True,
                              name="batcher-retire").start()

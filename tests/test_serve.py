@@ -366,6 +366,16 @@ class TestServeOps:
             with urllib.request.urlopen(req, timeout=120) as r:
                 assert r.read() == out_before  # unchanged engine
 
+            def counter(name):
+                with urllib.request.urlopen(base + "/metrics", timeout=10) as r:
+                    for ln in r.read().decode().splitlines():
+                        if ln.startswith(name + " "):
+                            return float(ln.split()[1])
+                raise AssertionError(f"{name} not exposed")
+
+            passes_before = counter("segan_device_passes_total")
+            assert passes_before >= 1
+
             # real reload -> same request now produces DIFFERENT audio
             req = urllib.request.Request(
                 base + "/admin/reload",
@@ -375,6 +385,10 @@ class TestServeOps:
             with urllib.request.urlopen(req, timeout=180) as r:
                 info = json.loads(r.read())
             assert info["status"] == "reloaded" and info["reloads"] == 1
+            # Prometheus counters MUST NOT regress across a reload: the
+            # retiring generation's passes fold into *_prev at swap time
+            # (serving_soak.py caught the 150 s regression window)
+            assert counter("segan_device_passes_total") >= passes_before
             req = urllib.request.Request(base + "/enhance?seed=9", data=body)
             with urllib.request.urlopen(req, timeout=120) as r:
                 out_after = r.read()

@@ -69,6 +69,7 @@ def train_cmd(args, corpus, val, save, resume):
            "--batch_size", "300", "--no_bias", "--no_train_gen",
            "--epoch", str(args.epoch),
            "--compute_dtype", "bfloat16",
+           "--loader_dtype", "bfloat16",  # halves dev-tunnel H2D (BENCH.md r4)
            "--steps_per_call", "4",
            "--eoe_save_every", "5",
            "--eval_workers", "2"]

@@ -68,7 +68,9 @@ def shared_flags(args, seed):
         "--denc_fmaps", *[str(f) for f in args.fmaps],
         "--denc_poolings", "4", "4", "4",
         "--z_dim", str(args.fmaps[-1]),
-        "--dpool_slen", "16",
+        # the D head FC is sized fmaps[-1] * dpool_slen (ref discriminator.py):
+        # dpool_slen must equal the D encoder's output length
+        "--dpool_slen", str(args.slice_size // (4 ** len(args.fmaps))),
         "--save_freq", "50",
         "--no_train_gen",  # sample plotting off on both sides
     ]
