@@ -143,6 +143,11 @@ def main():
     ap.add_argument("--preempt_epoch", type=int, default=50)
     ap.add_argument("--skip_train", action="store_true",
                     help="score existing checkpoints only")
+    ap.add_argument("--resume_only", action="store_true",
+                    help="continue an interrupted campaign: skip leg1, run one "
+                         "--resume leg to completion (prior legs' epoch "
+                         "coverage is reconstructed from the existing "
+                         "train.log), then score")
     args = ap.parse_args()
 
     os.makedirs(args.work, exist_ok=True)
@@ -154,7 +159,23 @@ def main():
                          "corpus": corpus, "val": val},
               "legs": []}
 
-    if not args.skip_train:
+    if args.resume_only:
+        # reconstruct prior legs' epoch coverage from the accumulated log
+        prior = sorted({int(m.group(1)) for line in open(log)
+                        for m in [EPOCH_RE.search(line)] if m}) if \
+            os.path.exists(log) else []
+        report["legs"].append({"rc": None, "epochs":
+                               [min(prior or [0]), max(prior or [0])],
+                               "note": "prior legs reconstructed from train.log "
+                                       "(orchestrator restart)",
+                               "preempted": True})
+        rc, eps, vals, wall = run_leg(
+            train_cmd(args, corpus, val, save, resume=True), log, tag="leg3")
+        report["legs"].append({"rc": rc, "epochs": [min(eps or [0]), max(eps or [0])],
+                               "val_events": vals, "wall_s": round(wall, 1),
+                               "preempted": False})
+        print(f"[leg3] rc={rc}", flush=True)
+    elif not args.skip_train:
         # leg 1: fresh start, SIGTERM at preempt_epoch
         rc, eps, vals, wall = run_leg(
             train_cmd(args, corpus, val, save, resume=False), log,

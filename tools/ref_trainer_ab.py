@@ -79,7 +79,7 @@ def shared_flags(args, seed):
 def run_trainer(cmd, env, log_path, tag):
     print(f"[{tag}] + {' '.join(cmd)}", flush=True)
     t0 = time.time()
-    with open(log_path, "w") as lf:
+    with open(log_path, "w", buffering=1) as lf:  # line-buffered: live tailing
         p = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                              stderr=subprocess.STDOUT, text=True, env=env)
         n_lines = 0
