@@ -196,16 +196,26 @@ def main():
     # score the final EOE and (if present) the best-val checkpoint
     eoe = sorted(glob.glob(os.path.join(save, "weights_EOE_G-Generator-*.ckpt")),
                  key=lambda p: int(re.search(r"-(\d+)\.ckpt$", p).group(1)))
-    best = sorted(glob.glob(os.path.join(save, "weights_G-Generator-*.ckpt")),
+    best = sorted(glob.glob(os.path.join(save,
+                                         "weights_SEGAN-G-best_Generator-*.ckpt")),
                   key=lambda p: int(re.search(r"-(\d+)\.ckpt$", p).group(1)))
     if eoe:
         report["final_scores"] = score_ckpt(
             eoe[-1], save, corpus, os.path.join(args.work, "final_parity.json"))
         report["final_ckpt"] = os.path.basename(eoe[-1])
     if best:
-        report["best_scores"] = score_ckpt(
-            best[-1], save, corpus, os.path.join(args.work, "best_parity.json"))
         report["best_ckpt"] = os.path.basename(best[-1])
+        step = lambda p: re.search(r"-(\d+)\.ckpt$", p).group(1)  # noqa: E731
+        if eoe and step(best[-1]) == step(eoe[-1]):
+            # best-val save landed on the final epoch: identical params, no
+            # point rescoring the same generator twice
+            report["best_scores"] = report["final_scores"]
+            report["best_note"] = ("best-val save coincides with the final "
+                                   "EOE step; scores shared")
+        else:
+            report["best_scores"] = score_ckpt(
+                best[-1], save, corpus,
+                os.path.join(args.work, "best_parity.json"))
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print("[campaign] report ->", args.out, flush=True)
