@@ -57,15 +57,17 @@ def bench_reference(batch, steps):
 
     torch.manual_seed(0)
     torch.set_num_threads(max(1, os.cpu_count()))
-    spec = importlib.util.spec_from_file_location(
-        "ref_model", "/root/reference/segan/models/model.py")
-    m = importlib.util.module_from_spec(spec)
-    sys.modules["ref_model"] = m
-    spec.loader.exec_module(m)
+    # Import as a real package (model.py does `from ..datasets import *`, so a
+    # bare spec_from_file_location load breaks on the relative imports); the
+    # ref_stubs dir earlier on sys.path satisfies its third-party deps.
+    m = importlib.import_module("segan.models.model")
 
     opts = canonical_ns(batch)
     segan = m.SEGAN(opts)
-    segan.train()
+    # NB: the reference overrides .train() as its training LOOP
+    # (model.py:230) — set torch train mode on the submodules directly.
+    segan.G.train()
+    segan.D.train()
     Gopt, Dopt = segan.build_optimizers(opts)
     criterion = nn.MSELoss()
     clean = torch.randn(batch, 1, opts.slice_size)
