@@ -96,11 +96,13 @@ def bench_reference(batch, steps):
         t0 = time.perf_counter()
         step()
         times.append(time.perf_counter() - t0)
-    n_params = sum(p.numel() for p in segan.G.parameters())
+    n_g = sum(p.numel() for p in segan.G.parameters())
+    n_d = sum(p.numel() for p in segan.D.parameters())
     return {"per_step_s": [round(t, 3) for t in times],
             "mean_step_s": round(float(np.mean(times)), 3),
             "slices_per_sec": round(batch / float(np.mean(times)), 2),
-            "g_params": int(n_params)}
+            "d_params": int(n_d),
+            "g_params": int(n_g)}
 
 
 def bench_ours(batch, steps):
@@ -136,10 +138,16 @@ def bench_ours(batch, steps):
         t0 = time.perf_counter()
         step(i)
         times.append(time.perf_counter() - t0)
+    import numpy as _np
+    n_g = sum(int(_np.prod(x.shape))
+              for x in jax.tree.leaves(segan.state.g_params))
+    n_d = sum(int(_np.prod(x.shape))
+              for x in jax.tree.leaves(segan.state.d_params))
     return {"per_step_s": [round(t, 3) for t in times],
             "mean_step_s": round(float(np.mean(times)), 3),
             "slices_per_sec": round(batch / float(np.mean(times)), 2),
-            "g_params": segan.get_n_params()}
+            "d_params": int(n_d),
+            "g_params": int(n_g)}
 
 
 def main():

@@ -79,6 +79,10 @@ def arm_flags(name, args):
         # same engine, extras off: what do misalign/interf + power loss buy?
         "wsegan_plain": ["--wsegan", "--gnorm_type", "snorm", "--dnorm_type",
                          "snorm", "--opt", "adam", "--pow_weight", "0"],
+        # power loss on, extra fake pairs off: isolates WHICH full-recipe
+        # ingredient moves the result (pow loss vs misalign/interf)
+        "wsegan_pow": ["--wsegan", "--gnorm_type", "snorm", "--dnorm_type",
+                       "snorm", "--opt", "adam"],
         # the denoising default recipe as the cross-engine control
         "segan_control": [],
         # G-only AE ablation (ref model.py:769-935), adam per the engine default
@@ -165,7 +169,9 @@ def main():
     ap.add_argument("--platform", default="tpu", choices=["tpu", "cpu"])
     ap.add_argument("--arms", nargs="+",
                     default=["wsegan_full", "wsegan_plain", "segan_control",
-                             "aewsegan"])
+                             "aewsegan"],
+                    choices=["wsegan_full", "wsegan_plain", "wsegan_pow",
+                             "segan_control", "aewsegan"])
     args = ap.parse_args()
 
     os.makedirs(args.work, exist_ok=True)
