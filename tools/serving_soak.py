@@ -286,9 +286,21 @@ def main():
     # verdicts
     rss = np.array([s["rss_kb"] for s in samples], float)
     ts = np.array([s["t"] for s in samples], float)
-    tail = slice(len(rss) // 3, None)  # skip warmup/arena growth
-    slope = (np.polyfit(ts[tail] / 60.0, rss[tail], 1)[0]
-             if len(rss[tail]) >= 3 else float("nan"))
+
+    def slope_over(frac):
+        """Least-squares RSS slope (kB/min) over the trailing `frac` of
+        samples. Reported over three shrinking windows because glibc arenas
+        grow toward the peak live set (≈ reload_s/150 s overlapping engine
+        generations) and never return pages — a leak keeps ALL windows at the
+        same positive slope, arena warmup decays toward zero in the later
+        windows. Object/buffer-level ground truth lives in
+        tools/reload_leak_probe.py (weakref + jax.live_arrays per retired
+        generation)."""
+        tail = slice(len(rss) - int(len(rss) * frac), None)
+        if len(rss[tail]) < 3:
+            return float("nan")
+        return float(np.polyfit(ts[tail] / 60.0, rss[tail], 1)[0])
+
     fds = [s["fds"] for s in samples]
     thr = [s["threads"] for s in samples]
     report = {
@@ -296,7 +308,9 @@ def main():
         "samples": samples,
         "counts": counts,
         "verdicts": {
-            "rss_slope_kb_per_min": round(float(slope), 2),
+            "rss_slope_kb_per_min": round(slope_over(2 / 3), 2),
+            "rss_slope_last_third": round(slope_over(1 / 3), 2),
+            "rss_slope_last_quarter": round(slope_over(1 / 4), 2),
             "rss_first_last_kb": [int(rss[0]), int(rss[-1])],
             "fd_drift": int(max(fds) - int(np.median(fds[len(fds) // 3:]))),
             "thread_drift": int(max(thr) - int(np.median(thr[len(thr) // 3:]))),
