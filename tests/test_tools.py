@@ -246,3 +246,66 @@ class TestTrainThroughputBench:
         with pytest.raises(ValueError):
             tb.steady_state([(10.0, 14, 1), (20.0, 28, 2)], skip_epochs=2,
                             batch_size=300)
+
+
+class TestMergeABSeeds:
+    """tools/merge_ab_seeds.py: staged-seed pooling with corpus fingerprint."""
+
+    def _report(self, seeds, pesq_base=1.5, corpus="/tmp/ab_corpus"):
+        mk = lambda v: {"pesq": v, "stoi": 0.8}
+        return {
+            "config": {"corpus": corpus, "seeds": [int(s) for s in seeds],
+                       "epoch": 60, "batch_size": 16, "slice_size": 2048,
+                       "fmaps": [8, 16, 32], "ours_platform": "cpu"},
+            "noisy_baseline": mk(pesq_base),
+            "seeds": {str(s): {"ref": {"metrics": mk(2.0 + i)},
+                               "ours": {"metrics": mk(2.1 + i)}}
+                      for i, s in enumerate(seeds)},
+            "summary": {},
+        }
+
+    def _write(self, tmp_path, name, rep):
+        p = tmp_path / name
+        p.write_text(json.dumps(rep))
+        return str(p)
+
+    def _merge(self):
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from tools.merge_ab_seeds import merge
+        return merge
+
+    def test_union_and_recomputed_summary(self, tmp_path):
+        main = self._write(tmp_path, "main.json", self._report([111, 222]))
+        side = self._write(tmp_path, "side.json", self._report([444]))
+        self._merge()(main, side)
+        out = json.loads(open(main).read())
+        assert out["config"]["seeds"] == [111, 222, 444]
+        # ref pesq over {2.0, 3.0, 2.0}: the side run's seed indexes from 0
+        vals = [out["seeds"][s]["ref"]["metrics"]["pesq"]
+                for s in ("111", "222", "444")]
+        assert out["summary"]["ref"]["pesq"]["mean"] == pytest.approx(
+            np.mean(vals))
+        assert out["summary"]["ref"]["pesq"]["std"] == pytest.approx(
+            np.std(vals))
+
+    def test_different_corpus_contents_refused(self, tmp_path):
+        # same corpus PATH, different noisy baseline -> different wavs
+        main = self._write(tmp_path, "main.json", self._report([111]))
+        side = self._write(tmp_path, "side.json",
+                           self._report([444], pesq_base=1.6))
+        with pytest.raises(SystemExit, match="noisy-baseline mismatch"):
+            self._merge()(main, side)
+
+    def test_duplicate_seed_refused(self, tmp_path):
+        main = self._write(tmp_path, "main.json", self._report([111]))
+        side = self._write(tmp_path, "side.json", self._report([111]))
+        with pytest.raises(SystemExit, match="already present"):
+            self._merge()(main, side)
+
+    def test_config_mismatch_refused(self, tmp_path):
+        main = self._write(tmp_path, "main.json", self._report([111]))
+        rep = self._report([444])
+        rep["config"]["epoch"] = 100
+        side = self._write(tmp_path, "side.json", rep)
+        with pytest.raises(SystemExit, match="config mismatch"):
+            self._merge()(main, side)

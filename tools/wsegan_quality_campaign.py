@@ -114,9 +114,14 @@ def run_arm(name, args, corpus, val, work):
                     "--noisy_valset", os.path.join(val, "noisy_trainset")]
         sh(cmd, env=env, log=log, tag=name)
         open(os.path.join(save, "DONE"), "w").write("ok")
-    cks = glob.glob(os.path.join(save, "weights_EOE_G-Generator-*.ckpt"))
-    ck = max(cks, key=lambda p: int(re.search(r"-(\d+)\.ckpt$", p).group(1)))
-    enh = os.path.join(work, name + "_enh")
+    cks = sorted(glob.glob(os.path.join(save, "weights_EOE_G-Generator-*.ckpt")),
+                 key=lambda p: int(re.search(r"-(\d+)\.ckpt$", p).group(1)))
+    return save, cks
+
+
+def enhance_ckpt(name, save, ck, corpus, work, tag=""):
+    """clean.py (CPU-forced) the held-out testset through one checkpoint."""
+    enh = os.path.join(work, name + "_enh" + (("_" + tag) if tag else ""))
     if not glob.glob(os.path.join(enh, "*.wav")):
         os.makedirs(enh, exist_ok=True)
         cenv = dict(os.environ, SEGAN_TPU_PLATFORM="cpu", PYTHONUNBUFFERED="1")
@@ -124,9 +129,10 @@ def run_arm(name, args, corpus, val, work):
             "--g_pretrained_ckpt", ck,
             "--cfg_file", os.path.join(save, "train.opts"),
             "--test_files", os.path.join(corpus, "noisy_testset"),
-            "--synthesis_path", enh], env=cenv, log=save + "_clean.log",
-           tag=name + "-clean")
-    return save, ck, enh
+            "--synthesis_path", enh], env=cenv,
+           log=save + f"_clean{('_' + tag) if tag else ''}.log",
+           tag=name + "-clean" + (("@" + tag) if tag else ""))
+    return enh
 
 
 def sd_trajectory(save):
@@ -172,6 +178,9 @@ def main():
                              "aewsegan"],
                     choices=["wsegan_full", "wsegan_plain", "wsegan_pow",
                              "segan_control", "aewsegan"])
+    ap.add_argument("--traj_arms", nargs="*", default=[],
+                    help="arms whose EVERY retained EOE checkpoint is scored "
+                         "(quality-vs-budget trajectory), not just the final")
     args = ap.parse_args()
 
     os.makedirs(args.work, exist_ok=True)
@@ -186,9 +195,26 @@ def main():
     print("[whisper-baseline]", json.dumps(base_mean), flush=True)
 
     for name in args.arms:
-        save, ck, enh = run_arm(name, args, corpus, val, args.work)
+        save, cks = run_arm(name, args, corpus, val, args.work)
+        ck = cks[-1]
+        enh = enhance_ckpt(name, save, ck, corpus, args.work)
         mean, per = score_dir(clean_test, enh)
         entry = {"ckpt": os.path.basename(ck), "metrics": mean, "per_utt": per}
+        if name in args.traj_arms:
+            traj = []
+            for c in cks:
+                step = int(re.search(r"-(\d+)\.ckpt$", c).group(1))
+                if c == ck:
+                    traj.append({"ckpt": os.path.basename(c), "step": step,
+                                 "metrics": mean})
+                    continue
+                e = enhance_ckpt(name, save, c, corpus, args.work,
+                                 tag=str(step))
+                m, _ = score_dir(clean_test, e)
+                traj.append({"ckpt": os.path.basename(c), "step": step,
+                             "metrics": m})
+                print(f"[{name}@{step}]", json.dumps(m), flush=True)
+            entry["ckpt_trajectory"] = traj
         if name == "aewsegan":
             entry["sd_trajectory"] = sd_trajectory(save)
         report["arms"][name] = entry
