@@ -309,3 +309,39 @@ class TestMergeABSeeds:
         side = self._write(tmp_path, "side.json", rep)
         with pytest.raises(SystemExit, match="config mismatch"):
             self._merge()(main, side)
+
+
+class TestAbCkptTrajectory:
+    """Pure helpers of tools/ab_ckpt_trajectory.py (the scoring path itself is
+    exercised by the r5 campaign artifact)."""
+
+    def _mod(self):
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        import tools.ab_ckpt_trajectory as m
+        return m
+
+    def test_parse_run_spec(self):
+        m = self._mod()
+        assert m.parse_run_spec("ours:/tmp/x") == ("ours", "/tmp/x")
+        assert m.parse_run_spec("ref:/a/b:c") == ("ref", "/a/b:c")
+        for bad in ("ours", "theirs:/x", "ours:", ":/x"):
+            with pytest.raises(ValueError):
+                m.parse_run_spec(bad)
+
+    def test_eoe_ckpts_sorted_by_iter(self, tmp_path):
+        m = self._mod()
+        # iters chosen so lexicographic order != numeric order
+        for it in (900, 11281, 2821):
+            (tmp_path / f"weights_EOE_G-Generator-{it}.ckpt").write_text("x")
+        (tmp_path / "weights_EOE_D-Discriminator-900.ckpt").write_text("x")
+        got = m.eoe_g_ckpts(str(tmp_path))
+        assert [int(p.rsplit("-", 1)[1][:-5]) for p in got] == [900, 2821, 11281]
+
+    def test_clean_cmd_env_sides(self):
+        m = self._mod()
+        cmd, env = m._clean_cmd_env("ref", "/c.ckpt", "/t.opts", "/n", "/e")
+        assert cmd[2].startswith("/root/reference")
+        assert m.STUBS in env["PYTHONPATH"]
+        cmd, env = m._clean_cmd_env("ours", "/c.ckpt", "/t.opts", "/n", "/e")
+        assert cmd[2] == os.path.join(m.ROOT, "clean.py")
+        assert env["SEGAN_TPU_PLATFORM"] == "cpu"
